@@ -64,7 +64,7 @@ def __getattr__(name):
     lazy = {
         "GridderDirect": ".direct",
         "GridderUvwEsFft": ".es_fft",
-        "degrid_uvw_custom": ".degrid_uvw_custom",
+        "degrid_uvw_custom": ".custom",
         "wstack_wtower_grid_all": ".wstack",
         "wstack_wtower_degrid_all": ".wstack",
         "determine_max_w_tower_height": ".wtower_height",

@@ -36,15 +36,20 @@ def _pswf_correction_host(image_size: int, theta: float, w_step: float,
     pm = np.arange(num_m) - num_m // 2 + facet_offset_m
     pswf_l = pswf_lm[pl + image_size // 2]
     pswf_m = pswf_lm[pm + image_size // 2]
-    l = pl * theta / image_size
-    m = pm * theta / image_size
-    ll, mm = np.meshgrid(l, m, indexing="ij")
-    n = lm_to_n(ll, mm, shear_u, shear_v)
-    n_x = np.abs(n * 2.0 * w_step)
-    pswf_n = np.where(n_x < 1.0,
-                      pswf_evaluate_host(0, w_support * (np.pi / 2),
-                                         np.minimum(n_x, 1.0 - 1e-15)),
-                      1.0)
+    if w_support > 0:
+        l = pl * theta / image_size
+        m = pm * theta / image_size
+        ll, mm = np.meshgrid(l, m, indexing="ij")
+        n = lm_to_n(ll, mm, shear_u, shear_v)
+        n_x = np.abs(n * 2.0 * w_step)
+        pswf_n = np.where(n_x < 1.0,
+                          pswf_evaluate_host(0, w_support * (np.pi / 2),
+                                             np.minimum(n_x, 1.0 - 1e-15)),
+                          1.0)
+    else:
+        # No w-kernel (direct gridder): skip the pswf_n term — the
+        # reference's pswf_n_c > 0 guard (sdp_gridder_grid_correct.cpp:61).
+        pswf_n = 1.0
     return 1.0 / (pswf_l[:, None] * pswf_m[None, :] * pswf_n)
 
 
