@@ -1,0 +1,143 @@
+"""ES-FFT gridder tests: adjointness (the reference's RRMSE pattern,
+tests/grid_data/test_gridder_uvw_es_fft.py:500-529), accuracy vs direct
+DFT imaging, and get_w_range."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ska_sdp_func_tpu.grid_data import dft, image_lmn, image_to_flmn
+from ska_sdp_func_tpu.grid_data.es_fft import GridderUvwEsFft
+
+C_0 = 299792458.0
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    num_rows, num_chan = 150, 2
+    image_size = 64
+    fov_deg = 2.0
+    pixel_size = fov_deg * np.pi / 180.0 / image_size
+    # uvw sized so |u|_lambda * image*pixel < image/2 (inside the grid)
+    max_u = 0.4 * image_size / 2 / (image_size * pixel_size)
+    uvw = rng.uniform(-1, 1, (num_rows, 3)) * max_u
+    uvw[:, 2] *= 0.1
+    freq = np.array([C_0, 1.1 * C_0])
+    vis = (rng.standard_normal((num_rows, num_chan))
+           + 1j * rng.standard_normal((num_rows, num_chan)))
+    weight = np.ones((num_rows, num_chan))
+    return dict(uvw=uvw, freq=freq, vis=vis, weight=weight,
+                image_size=image_size, pixel_size=pixel_size)
+
+
+def _make_plan(d, do_wstacking, epsilon=1e-5, dtype=np.complex128):
+    vis = d["vis"].astype(dtype)
+    dirty = np.zeros((d["image_size"], d["image_size"]),
+                     np.real(vis).dtype)
+    min_w, max_w = GridderUvwEsFft.get_w_range(d["uvw"], d["freq"])
+    return GridderUvwEsFft(
+        jnp.asarray(d["uvw"]), jnp.asarray(d["freq"]), jnp.asarray(vis),
+        jnp.asarray(d["weight"]), jnp.asarray(dirty), d["pixel_size"],
+        d["pixel_size"], epsilon, min_w, max_w, do_wstacking), dirty
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True])
+def test_es_fft_adjointness(data, do_wstacking):
+    """vdot(vis, degrid(image)) == vdot(grid(vis), image) — gridding and
+    degridding must be exact adjoints (same kernels both sides)."""
+    d = data
+    plan, dirty0 = _make_plan(d, do_wstacking)
+    rng = np.random.default_rng(7)
+    image = rng.standard_normal((d["image_size"], d["image_size"]))
+    vis_zero = jnp.zeros_like(jnp.asarray(d["vis"]))
+    predicted = plan.ifft_degrid_uvw_es_fft(
+        jnp.asarray(d["uvw"]), jnp.asarray(d["freq"]), vis_zero,
+        jnp.asarray(d["weight"]), jnp.asarray(image))
+    gridded = plan.grid_uvw_es_fft(
+        jnp.asarray(d["uvw"]), jnp.asarray(d["freq"]),
+        jnp.asarray(d["vis"]), jnp.asarray(d["weight"]),
+        jnp.asarray(dirty0))
+    # weight enters only on the gridding side; put it on the vis for the
+    # inner product
+    lhs = np.vdot(d["vis"] * d["weight"], np.asarray(predicted)).real
+    rhs = np.vdot(np.asarray(gridded), image).real
+    rrmse = abs(lhs - rhs) / abs(lhs)
+    assert rrmse < 1e-12
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True])
+def test_es_fft_grid_matches_dft_image(data, do_wstacking):
+    """Dirty image must match the direct iDFT image to ~epsilon."""
+    d = data
+    plan, dirty0 = _make_plan(d, do_wstacking, epsilon=1e-7)
+    size = d["image_size"]
+    uvw = d["uvw"].copy()
+    if not do_wstacking:
+        uvw[:, 2] = 0.0
+    dirty = np.asarray(plan.grid_uvw_es_fft(
+        jnp.asarray(uvw), jnp.asarray(d["freq"]), jnp.asarray(d["vis"]),
+        jnp.asarray(d["weight"]), jnp.asarray(dirty0)))
+    # Oracle: iDFT in the ducc0/nifty convention the reference implements:
+    # dirty(l,m) = (1/n) sum vis exp(+2 pi i (ul + vm - w (n-1))).
+    theta = size * d["pixel_size"]
+    lmn = np.asarray(image_lmn((size, size), theta))
+    uvw_conv = uvw.copy()
+    uvw_conv[:, 2] *= -1.0
+    from ska_sdp_func_tpu.grid_data import idft
+    expected = np.asarray(idft(
+        jnp.asarray(uvw_conv), jnp.asarray(d["vis"]), jnp.asarray(lmn),
+        None, None, None, 0, 0, 0, theta, 0.0, float(d["freq"][0]),
+        float(d["freq"][1] - d["freq"][0]),
+        image_shape=(size, size))).real
+    if do_wstacking:
+        # The w-screen carries a 1/n factor (phase_shift's xn term).
+        expected = expected / (lmn[:, 2].reshape(size, size) + 1.0)
+    scale = np.abs(expected).max()
+    err = np.abs(dirty - expected).max() / scale
+    assert err < 5e-6, f"relative error {err}"
+
+
+def test_es_fft_degrid_matches_dft(data):
+    """Degridded visibilities of a point-source image match the DFT."""
+    d = data
+    size = d["image_size"]
+    image = np.zeros((size, size))
+    image[size // 3, size // 2] = 1.0
+    image[2 * size // 3, size // 4] = 0.5
+    plan, _ = _make_plan(d, do_wstacking=True, epsilon=1e-7)
+    vis = np.asarray(plan.ifft_degrid_uvw_es_fft(
+        jnp.asarray(d["uvw"]), jnp.asarray(d["freq"]),
+        jnp.zeros_like(jnp.asarray(d["vis"])), jnp.asarray(d["weight"]),
+        jnp.asarray(image)))
+    theta = size * d["pixel_size"]
+    # ducc0 convention: vis = sum (I/n) exp(-2 pi i (ul + vm - w (n-1))).
+    lmn_all = np.asarray(image_lmn((size, size), theta))
+    n = lmn_all[:, 2].reshape(size, size) + 1.0
+    flux, lmn = image_to_flmn(image / n, theta)
+    uvw_conv = d["uvw"].copy()
+    uvw_conv[:, 2] *= -1.0
+    expected = np.asarray(dft(
+        jnp.asarray(uvw_conv), jnp.asarray(flux), jnp.asarray(lmn),
+        None, None, 0, 0, 0, theta, 0.0, float(d["freq"][0]),
+        float(d["freq"][1] - d["freq"][0]), d["vis"].shape[1]))
+    err = np.abs(vis - expected).max() / np.abs(expected).max()
+    assert err < 5e-6, f"relative error {err}"
+
+
+def test_get_w_range(data):
+    d = data
+    min_w, max_w = GridderUvwEsFft.get_w_range(d["uvw"], d["freq"])
+    w_abs = np.abs(d["uvw"][:, 2])
+    np.testing.assert_allclose(min_w, w_abs.min() * d["freq"][0] / C_0)
+    np.testing.assert_allclose(max_w, w_abs.max() * d["freq"][-1] / C_0)
+
+
+def test_es_fft_rejects_rectangular_pixels(data):
+    d = data
+    from ska_sdp_func_tpu.utility.errors import SdpInvalidArgumentError
+    with pytest.raises(SdpInvalidArgumentError):
+        GridderUvwEsFft(
+            jnp.asarray(d["uvw"]), jnp.asarray(d["freq"]),
+            jnp.asarray(d["vis"]), jnp.asarray(d["weight"]),
+            jnp.zeros((64, 64)), 1e-4, 2e-4, 1e-5, 0.0, 1.0, False)
