@@ -1,0 +1,22 @@
+"""Major-cycle imaging solver (grid -> FFT -> CLEAN -> degrid).
+
+The reference is a stateless kernel library; the major cycle lives in
+SKA's host frameworks (SURVEY.md §0). Here it is a first-class, fully
+on-device component: the solver state (model image, residual) iterates
+through jitted grid/CLEAN/degrid graphs, optionally over a device mesh
+(visibility rows sharded, partial grids `psum`-reduced).
+"""
+
+from .major_cycle import (
+    ImagingResult,
+    dirty_and_psf,
+    major_cycle_imager,
+    make_psf_plan,
+)
+
+__all__ = [
+    "ImagingResult",
+    "dirty_and_psf",
+    "major_cycle_imager",
+    "make_psf_plan",
+]

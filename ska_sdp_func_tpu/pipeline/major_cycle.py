@@ -1,0 +1,187 @@
+"""Major-cycle CLEAN imaging solver.
+
+Solves the sparse deconvolution problem  min ||V - A x||  where A is the
+degridding forward operator (image FFT + w-towers kernel sampling) via
+CLEAN major/minor cycles:
+
+    psf    = normalise(grid(1))                     (once)
+    repeat n_major times:
+        residual_vis = vis - degrid(model)
+        dirty        = normalise(grid(residual_vis))
+        delta, res   = hogbom_minor_cycle(dirty, psf)
+        model       += delta
+    restored = model * cbeam + res
+
+Everything per iteration is jitted XLA; the minor cycle is an on-chip
+`lax.while_loop` (no host round-trip per peak, unlike the reference's
+GPU path which launches one kernel per minor-cycle step —
+clean/sdp_hogbom_clean.cpp:281-732). With a mesh, gridding/degridding
+shard visibility rows and reduce partial images with `psum`
+(:mod:`ska_sdp_func_tpu.parallel`).
+"""
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..clean.hogbom import _minor_cycle, create_cbeam
+from ..grid_data.wtower import GridderWtowerUVW
+from ..numeric_functions.fft_convolution import fft_convolution
+from ..parallel.wstack import (
+    WStackPlan,
+    degrid_all_tasks,
+    grid_all_tasks,
+    plan_wstack,
+    wstack_degrid_all_sharded,
+    wstack_grid_all_sharded,
+)
+
+Array = jax.Array
+
+
+@dataclass
+class ImagingResult:
+    """Solver outputs: CLEAN component model, final residual image,
+    restored image, and per-major-cycle peak-residual history."""
+
+    model: Array
+    residual: Array
+    restored: Array
+    peak_history: List[float]
+
+
+def make_psf_plan(plan: WStackPlan, uvw: Array) -> WStackPlan:
+    """PSF plan at twice the image size / field of view (same uv cell):
+    the minor cycle needs a 2N PSF for full-image component subtraction
+    (clean/sdp_hogbom_clean.cpp:217-240). Re-planned from uvw because
+    doubling theta changes the sub-grid box layout."""
+    return plan_wstack(
+        uvw, plan.freq0_hz, plan.dfreq_hz, plan.num_chan,
+        2 * plan.image_size, plan.subgrid_size, 2 * plan.theta,
+        plan.w_step, plan.shear_u, plan.shear_v, plan.support,
+        plan.oversampling, plan.w_support, plan.w_oversampling,
+        plan.subgrid_frac, plan.w_tower_height)
+
+
+def _grid(plan: WStackPlan, kernel: GridderWtowerUVW, vis: Array,
+          uvw: Array, mesh: Optional[Mesh]) -> Array:
+    if mesh is not None:
+        return wstack_grid_all_sharded(plan, vis, uvw, mesh, kernel=kernel,
+                                       image_dtype=jnp.real(vis).dtype)
+    num_rows = vis.shape[0]
+    s = jnp.zeros((num_rows,), jnp.int32)
+    e = jnp.full((num_rows,), plan.num_chan, jnp.int32)
+    return grid_all_tasks(plan, kernel, vis, uvw, s, e).real
+
+
+def _degrid(plan: WStackPlan, kernel: GridderWtowerUVW, image: Array,
+            uvw: Array, mesh: Optional[Mesh], vis_dtype) -> Array:
+    if mesh is not None:
+        return wstack_degrid_all_sharded(plan, image, uvw, mesh,
+                                         kernel=kernel, vis_dtype=vis_dtype)
+    num_rows = uvw.shape[0]
+    s = jnp.zeros((num_rows,), jnp.int32)
+    e = jnp.full((num_rows,), plan.num_chan, jnp.int32)
+    return degrid_all_tasks(plan, kernel, image, uvw, s, e, vis_dtype)
+
+
+def _mask_border(image: Array, margin: int) -> Array:
+    """Zero a border margin: the 1/PSWF grid correction diverges at the
+    image edge (the reference tests exclude a border for the same reason,
+    test_gridder_wtower_uvw.py:2188-2193); without a CLEAN window the
+    minor-cycle argmax would lock onto those pixels."""
+    if margin <= 0:
+        return image
+    size_l, size_m = image.shape
+    il = jnp.arange(size_l)
+    im = jnp.arange(size_m)
+    keep = ((il >= margin) & (il < size_l - margin))[:, None] \
+        & ((im >= margin) & (im < size_m - margin))[None, :]
+    return jnp.where(keep, image, jnp.zeros((), image.dtype))
+
+
+def dirty_and_psf(plan: WStackPlan, vis: Array, uvw: Array,
+                  mesh: Optional[Mesh] = None,
+                  psf_plan: Optional[WStackPlan] = None,
+                  border: Optional[int] = None) -> Tuple[Array, Array]:
+    """Grid the dirty image (N) and the PSF (2N), both normalised so the
+    PSF peak is 1 (flux units). A border margin (default size//16) is
+    zeroed on both — the CLEAN window."""
+    if psf_plan is None:
+        psf_plan = make_psf_plan(plan, uvw)
+    if border is None:
+        border = plan.image_size // 16
+    kernel = plan.kernel()
+    psf_kernel = psf_plan.kernel()
+    dirty = _grid(plan, kernel, vis, uvw, mesh)
+    psf = _grid(psf_plan, psf_kernel, jnp.ones_like(vis), uvw, mesh)
+    peak = psf[psf.shape[0] // 2, psf.shape[1] // 2]
+    dirty = _mask_border(dirty / peak, border)
+    psf = _mask_border(psf / peak, 2 * border)
+    return dirty, psf
+
+
+def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
+                       n_major: int = 3, loop_gain: float = 0.1,
+                       threshold: float = 1e-3,
+                       cycle_limit: int = 1000,
+                       cbeam_details=(2.0, 2.0, 1.0, 128.0),
+                       mesh: Optional[Mesh] = None,
+                       border: Optional[int] = None,
+                       mgain: float = 0.8) -> ImagingResult:
+    """Run the full major/minor-cycle imaging solve.
+
+    All heavy stages are jitted; with ``mesh`` the grid/degrid stages run
+    sharded over visibility rows with `psum` image reduction.
+
+    ``mgain`` bounds each minor cycle: it stops at
+    ``max(threshold, (1 - mgain) * dirty_peak)`` so CLEAN never digs below
+    the sidelobe level before the exact degrid re-prediction corrects the
+    residual — without this the minor cycle over-cleans sidelobes of
+    sparse uv coverage and the major loop diverges.
+    """
+    vis = jnp.asarray(vis)
+    uvw = jnp.asarray(uvw)
+    image_size = plan.image_size
+    kernel = plan.kernel()
+    psf_plan = make_psf_plan(plan, uvw)
+    psf_kernel = psf_plan.kernel()
+    rdtype = jnp.real(vis).dtype
+
+    if border is None:
+        border = image_size // 16
+    psf = _grid(psf_plan, psf_kernel, jnp.ones_like(vis), uvw, mesh)
+    peak = psf[image_size, image_size]  # centre of the 2N PSF
+    psf = _mask_border(psf / peak, 2 * border)
+
+    model = jnp.zeros((image_size, image_size), rdtype)
+    residual_img = jnp.zeros_like(model)
+    peak_history: List[float] = []
+
+    for _ in range(n_major):
+        pred = _degrid(plan, kernel, model.astype(vis.dtype), uvw, mesh,
+                       vis.dtype)
+        res_vis = vis - pred
+        dirty = _mask_border(
+            _grid(plan, kernel, res_vis, uvw, mesh) / peak.astype(rdtype),
+            border)
+        dirty_peak = jnp.max(jnp.abs(dirty))
+        stop = jnp.maximum(jnp.asarray(threshold, rdtype),
+                           (1.0 - mgain) * dirty_peak)
+        delta, residual_img = _minor_cycle(
+            dirty, psf, float(loop_gain), stop, int(cycle_limit))
+        model = model + delta
+        peak_history.append(float(jnp.max(jnp.abs(residual_img))))
+        if peak_history[-1] < threshold:
+            break
+
+    cbeam = create_cbeam(jnp.asarray(cbeam_details, rdtype),
+                         int(cbeam_details[3]))
+    convolved = fft_convolution(
+        model.astype(jnp.result_type(model.dtype, jnp.complex64)), cbeam)
+    restored = convolved.real.astype(rdtype) + residual_img
+    return ImagingResult(model=model, residual=residual_img,
+                         restored=restored, peak_history=peak_history)
