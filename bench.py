@@ -1,0 +1,88 @@
+"""Headline benchmark: w-towers gridding throughput on one TPU chip.
+
+Measures visibilities gridded per second through the flagship w-towers
+sub-grid gridder (`_grid_all_planes`: per-vis separable
+support x support x w_support scatter + rolling w-tower FFT pipeline),
+float32 data on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "gridding_throughput", "value": <Mvis/s>, "unit": "Mvis/s",
+   "vs_baseline": <value / 1000>}
+vs_baseline is relative to BASELINE.json's north-star target of
+1 Gvis/s/chip (the reference publishes no absolute numbers; see
+BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+C_0 = 299792458.0
+
+
+def main():
+    from ska_sdp_func_tpu.grid_data.wtower import GridderWtowerUVW
+    from ska_sdp_func_tpu.utility.device import device_put
+
+    subgrid_size = 128
+    theta = 0.002
+    w_step = 100.0
+    support, oversampling = 8, 16 * 1024
+    w_support, w_oversampling = 4, 16 * 1024
+    num_rows, num_chan = 1024, 16
+    freq0, dfreq = C_0, C_0 / (100 * num_chan)
+
+    rng = np.random.default_rng(1)
+    # uvw confined to one sub-grid box and one w-tower (the per-task hot
+    # path of the w-stacking driver).
+    uvw = rng.uniform(-1, 1, (num_rows, 3)).astype(np.float32)
+    uvw[:, :2] *= 0.4 * subgrid_size / 2 / theta
+    uvw[:, 2] *= 1.5 * w_step
+    vis = (rng.standard_normal((num_rows, num_chan))
+           + 1j * rng.standard_normal((num_rows, num_chan))
+           ).astype(np.complex64)
+
+    plan = GridderWtowerUVW(subgrid_size, subgrid_size, theta, w_step,
+                            0.0, 0.0, support, oversampling, w_support,
+                            w_oversampling)
+
+    vis_d = device_put(vis)
+    uvw_d = device_put(uvw)
+    start_chs = jnp.zeros((num_rows,), jnp.int32)
+    end_chs = jnp.full((num_rows,), num_chan, jnp.int32)
+    # device_put: eager complex ops are unsupported on tunnelled TPU
+    # attachments (see utility/device.py).
+    subgrid = device_put(np.zeros((subgrid_size, subgrid_size),
+                                  np.complex64))
+
+    def run():
+        return plan.grid_subgrid(vis_d, uvw_d, start_chs, end_chs,
+                                 num_chan, freq0, dfreq, subgrid, (0, 0, 0))
+
+    # Warmup (compile)
+    out = run()
+    out.block_until_ready()
+
+    iters = 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    num_vis = num_rows * num_chan
+    mvis_s = num_vis / dt / 1e6
+    print(json.dumps({
+        "metric": "gridding_throughput",
+        "value": round(mvis_s, 3),
+        "unit": "Mvis/s",
+        "vs_baseline": round(mvis_s / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ import numpy as np
 
 from ..fourier_transforms.fft import fft_shifted, ifft_shifted
 from ..utility.constants import C_0
+from ..utility.device import device_put, zeros
 from ..utility.errors import SdpInvalidArgumentError
 from .clamp_channels import clamp_channels_inline
 from .grid_correct import grid_correct_pswf, grid_correct_w_stack
@@ -84,16 +85,27 @@ class GridderWtowerUVW:
         self.w_oversampling = int(w_oversampling)
         self._num_w_planes = [0, 0]  # [degridding, gridding] counters
 
-        # Oversampled convolution kernels (float64 host -> device arrays).
-        self.uv_kernel = jnp.asarray(
+        # Oversampled convolution kernels, kept as host numpy (float64):
+        # under jit they embed as trace-time constants without any
+        # device round-trip — complex-typed transfers are unsupported on
+        # some TPU attachments.
+        self.uv_kernel = np.ascontiguousarray(
             make_pswf_kernel(self.support, self.support, self.oversampling))
-        self.w_kernel = jnp.asarray(
+        self.w_kernel = np.ascontiguousarray(
             make_pswf_kernel(self.w_support, self.w_support,
                              self.w_oversampling))
         # w_pattern: iDFT of a sole visibility at (0, 0, w_step).
-        self.w_pattern = jnp.asarray(
+        self.w_pattern = np.ascontiguousarray(
             make_w_pattern(self.subgrid_size, self.theta, self.shear_u,
                            self.shear_v, self.w_step))
+        self._w_pattern_dev = None
+
+    @property
+    def w_pattern_device(self):
+        """Cached on-device w_pattern (uploaded via real/imag planes)."""
+        if self._w_pattern_dev is None:
+            self._w_pattern_dev = device_put(self.w_pattern)
+        return self._w_pattern_dev
 
     # -- plan accessors ----------------------------------------------------
     def num_w_planes(self, gridding: int) -> int:
@@ -150,7 +162,7 @@ class GridderWtowerUVW:
         end_chs = jnp.asarray(end_chs)
         if vis is None:
             cdtype = _complex_dtype(uvws.dtype)
-            vis = jnp.zeros((uvws.shape[0], ch_count), cdtype)
+            vis = zeros((uvws.shape[0], ch_count), cdtype)
         num_rows = uvws.shape[0]
         if start_row < 0 or end_row < 0:
             start_row, end_row = 0, num_rows
@@ -158,12 +170,13 @@ class GridderWtowerUVW:
             uvws, start_chs, end_chs, freq0_hz, dfreq_hz, off_w)
         num_planes = 1 + last - first
         self._num_w_planes[0] += num_planes
-        w_pattern = self.w_pattern.astype(vis.dtype)
+        w_pattern = self.w_pattern_device.astype(vis.dtype)
         subgrid_image = jnp.asarray(subgrid_image).astype(vis.dtype)
+        rdt = np.dtype(jnp.real(vis).dtype)
         return _degrid_all_planes(
             subgrid_image, w_pattern,
-            self.uv_kernel.astype(jnp.real(vis).dtype),
-            self.w_kernel.astype(jnp.real(vis).dtype),
+            self.uv_kernel.astype(rdt),
+            self.w_kernel.astype(rdt),
             uvws, start_chs, end_chs, vis,
             jnp.asarray(off_u), jnp.asarray(off_v), jnp.asarray(off_w),
             jnp.asarray(first),
@@ -203,11 +216,12 @@ class GridderWtowerUVW:
         subgrid_image = jnp.asarray(subgrid_image)
         # The running w image is always complex double in the reference
         # (sdp_gridder_wtower_uvw.cpp:1008); here: widest available complex.
-        w_img_dtype = _complex_dtype(self.w_pattern.dtype)
+        w_img_dtype = _complex_dtype(self.w_pattern_device.dtype)
+        rdt = np.dtype(jnp.real(vis).dtype)
         return _grid_all_planes(
-            vis, self.w_pattern.astype(w_img_dtype),
-            self.uv_kernel.astype(jnp.real(vis).dtype),
-            self.w_kernel.astype(jnp.real(vis).dtype),
+            vis, self.w_pattern_device.astype(w_img_dtype),
+            self.uv_kernel.astype(rdt),
+            self.w_kernel.astype(rdt),
             uvws, start_chs, end_chs, subgrid_image,
             jnp.asarray(off_u), jnp.asarray(off_v), jnp.asarray(off_w),
             jnp.asarray(first),
