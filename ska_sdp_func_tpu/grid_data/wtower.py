@@ -26,6 +26,7 @@ TPU-native design notes:
   truncating integer division on non-negative values).
 """
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -43,6 +44,20 @@ from .gridder_utils import shift_subgrids, uvw_bounds_all
 from .kernels import make_pswf_kernel, make_w_pattern
 
 Array = jax.Array
+
+# Inner-tap implementation:
+#   "pallas"  — fused Pallas TPU kernel (kernels/pallas_tap.py; f32)
+#   "dense"   — banded matmuls in XLA (kernels/dense_tap.py; any dtype)
+#   "scatter" — XLA scatter/gather reference formulation
+#   "auto"    — pallas on a TPU backend for complex64 data, dense otherwise
+TAP_IMPL = os.environ.get("SKA_SDP_FUNC_TPU_TAP_IMPL", "auto")
+
+
+def _use_pallas(vis_dtype) -> bool:
+    if TAP_IMPL == "pallas":
+        return True
+    return (TAP_IMPL == "auto" and jax.default_backend() == "tpu"
+            and jnp.dtype(vis_dtype) == jnp.complex64)
 
 
 def _round_half_away(x: Array) -> Array:
@@ -122,8 +137,10 @@ class GridderWtowerUVW:
         uvw_min, uvw_max = uvw_bounds_all(
             jnp.asarray(uvws), freq0_hz, dfreq_hz,
             jnp.asarray(start_chs), jnp.asarray(end_chs))
-        c_min = float(uvw_min[2])
-        c_max = float(uvw_max[2])
+        # Single device->host transfer: scalar readbacks can cost tens of
+        # milliseconds each on tunnelled TPU attachments.
+        bounds = np.asarray(jnp.stack([uvw_min[2], uvw_max[2]]))
+        c_min, c_max = float(bounds[0]), float(bounds[1])
         eta = 1e-5
         if not np.isfinite(c_min) or not np.isfinite(c_max):
             # No selected visibilities: a single (empty) plane.
@@ -147,12 +164,16 @@ class GridderWtowerUVW:
                        ch_count: int, freq0_hz: float, dfreq_hz: float,
                        uvws: Array, start_chs: Array, end_chs: Array,
                        vis: Optional[Array] = None,
-                       start_row: int = -1, end_row: int = -1) -> Array:
+                       start_row: int = -1, end_row: int = -1,
+                       w_plane_range: Optional[Tuple[int, int]] = None
+                       ) -> Array:
         """Degrid visibilities from one sub-grid image.
 
         Equivalent of `sdp_gridder_wtower_uvw_degrid`
         (sdp_gridder_wtower_uvw.cpp:726-909). Returns the visibilities
-        (accumulated onto ``vis`` when given).
+        (accumulated onto ``vis`` when given). ``w_plane_range`` (first,
+        last) skips the per-call device->host bounds readback when the
+        caller has already planned the tower (see plan_wstack).
         """
         if dfreq_hz == 0.0:
             dfreq_hz = 10.0  # Prevent divide-by-zero (reference :744).
@@ -166,14 +187,19 @@ class GridderWtowerUVW:
         num_rows = uvws.shape[0]
         if start_row < 0 or end_row < 0:
             start_row, end_row = 0, num_rows
-        first, last = self._w_plane_range(
-            uvws, start_chs, end_chs, freq0_hz, dfreq_hz, off_w)
+        if w_plane_range is None:
+            first, last = self._w_plane_range(
+                uvws, start_chs, end_chs, freq0_hz, dfreq_hz, off_w)
+        else:
+            first, last = (int(w_plane_range[0]), int(w_plane_range[1]))
         num_planes = 1 + last - first
         self._num_w_planes[0] += num_planes
         w_pattern = self.w_pattern_device.astype(vis.dtype)
         subgrid_image = jnp.asarray(subgrid_image).astype(vis.dtype)
         rdt = np.dtype(jnp.real(vis).dtype)
-        return _degrid_all_planes(
+        driver = (_degrid_all_planes_fused if _use_pallas(vis.dtype)
+                  else _degrid_all_planes)
+        return driver(
             subgrid_image, w_pattern,
             self.uv_kernel.astype(rdt),
             self.w_kernel.astype(rdt),
@@ -190,7 +216,9 @@ class GridderWtowerUVW:
                      end_chs: Array, ch_count: int, freq0_hz: float,
                      dfreq_hz: float, subgrid_image: Array,
                      subgrid_offset: Tuple[int, int, int],
-                     start_row: int = -1, end_row: int = -1) -> Array:
+                     start_row: int = -1, end_row: int = -1,
+                     w_plane_range: Optional[Tuple[int, int]] = None
+                     ) -> Array:
         """Grid visibilities onto one sub-grid image (adjoint of degrid).
 
         Equivalent of `sdp_gridder_wtower_uvw_grid`
@@ -209,8 +237,11 @@ class GridderWtowerUVW:
         num_rows = uvws.shape[0]
         if start_row < 0 or end_row < 0:
             start_row, end_row = 0, num_rows
-        first, last = self._w_plane_range(
-            uvws, start_chs, end_chs, freq0_hz, dfreq_hz, off_w)
+        if w_plane_range is None:
+            first, last = self._w_plane_range(
+                uvws, start_chs, end_chs, freq0_hz, dfreq_hz, off_w)
+        else:
+            first, last = (int(w_plane_range[0]), int(w_plane_range[1]))
         num_planes = 1 + last - first
         self._num_w_planes[1] += num_planes
         subgrid_image = jnp.asarray(subgrid_image)
@@ -218,7 +249,9 @@ class GridderWtowerUVW:
         # (sdp_gridder_wtower_uvw.cpp:1008); here: widest available complex.
         w_img_dtype = _complex_dtype(self.w_pattern_device.dtype)
         rdt = np.dtype(jnp.real(vis).dtype)
-        return _grid_all_planes(
+        driver = (_grid_all_planes_fused if _use_pallas(vis.dtype)
+                  else _grid_all_planes)
+        return driver(
             vis, self.w_pattern_device.astype(w_img_dtype),
             self.uv_kernel.astype(rdt),
             self.w_kernel.astype(rdt),
@@ -412,6 +445,14 @@ def _degrid_all_planes(subgrid_image, w_pattern, uv_kernel, w_kernel,
             freq0_hz, dfreq_hz, num_chan, theta, w_step, support,
             oversampling, w_support, w_oversampling, subgrid_size,
             start_row, end_row)
+        if _use_pallas(subgrids.dtype):
+            from ..kernels.pallas_tap import degrid_plane_pallas
+            return degrid_plane_pallas(subgrids, uv_kernel, w_kernel,
+                                       geom, support, w_support)
+        if TAP_IMPL != "scatter":
+            from ..kernels.dense_tap import degrid_plane_dense
+            return degrid_plane_dense(subgrids, uv_kernel, w_kernel,
+                                      geom, support, w_support)
         return _degrid_plane(subgrids, uv_kernel, w_kernel, geom,
                              support, w_support)
 
@@ -430,6 +471,151 @@ def _degrid_all_planes(subgrid_image, w_pattern, uv_kernel, w_kernel,
         (w_img, subgrids, vis_acc), _ = jax.lax.scan(
             step, (w_img, subgrids, vis_acc), planes)
     return vis_acc
+
+
+# ---------------------------------------------------------------------------
+# Fused absolute-layer drivers (Pallas path)
+#
+# A visibility is selected by exactly one w-slab j (the slabs tile w
+# space), and its separable tap touches absolute tower layers
+# k = j .. j + w_support - 1 with weight w_kernel[w_row, k - j]. The
+# whole tower therefore reduces to ONE fused kernel pass over all
+# visibilities producing K = num_planes + w_support - 1 layer
+# accumulators, drained by a single batched FFT and a w_pattern power
+# ladder — the sequential per-plane scan (reference
+# sdp_gridder_wtower_uvw.cpp:854-899, 1023-1100) disappears from the
+# device hot path. Algebraically identical to the scan (the telescoped
+# w_img recurrence); per-plane masks reuse _plane_geometry for exact
+# selection parity.
+# ---------------------------------------------------------------------------
+
+def _fused_tap_data(uvws, start_chs, end_chs, off_u, off_v, off_w,
+                    first_w_plane, freq0_hz, dfreq_hz, num_chan,
+                    num_planes, theta, w_step, support, oversampling,
+                    w_support, w_oversampling, subgrid_size, start_row,
+                    end_row, uv_kernel, w_kernel):
+    """Plane-resolved flat tap arrays for the fused kernels."""
+    num_k = num_planes + w_support - 1
+    mask_any = None
+    j_idx = None
+    w_row_sel = None
+    geom0 = None
+    for p in range(num_planes):
+        geom = _plane_geometry(
+            uvws, start_chs, end_chs, first_w_plane + p, off_u, off_v,
+            off_w, freq0_hz, dfreq_hz, num_chan, theta, w_step, support,
+            oversampling, w_support, w_oversampling, subgrid_size,
+            start_row, end_row)
+        mask_p, _, _, _, _, w_row_p = geom
+        if geom0 is None:
+            geom0 = geom
+            mask_any = mask_p
+            j_idx = jnp.where(mask_p, p, 0)
+            w_row_sel = jnp.where(mask_p, w_row_p, 0)
+        else:
+            mask_any = mask_any | mask_p
+            j_idx = jnp.where(mask_p, p, j_idx)
+            w_row_sel = jnp.where(mask_p, w_row_p, w_row_sel)
+    _, iu0, iv0, u_row, v_row, _ = geom0
+
+    mask_f = mask_any.reshape(-1)
+    j_f = j_idx.reshape(-1)
+    uk = uv_kernel[u_row.reshape(-1)]
+    vk = uv_kernel[v_row.reshape(-1)]
+    wk = w_kernel[w_row_sel.reshape(-1)]              # [V, Sw]
+    # weights[v, k] = wk[v, k - j_v] inside the slab window, else 0.
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (mask_f.shape[0], num_k), 1)
+    weights = jnp.zeros((mask_f.shape[0], num_k), wk.dtype)
+    for layer in range(w_support):
+        weights = weights + jnp.where(
+            k_ids == (j_f[:, None] + layer), wk[:, layer:layer + 1],
+            jnp.zeros((), wk.dtype))
+    weights = jnp.where(mask_f[:, None], weights, jnp.zeros((), wk.dtype))
+    # Barrier: stop XLA re-fusing the geometry into every consumer of
+    # these arrays (observed 10-100x slowdowns from refusion on TPU).
+    return jax.lax.optimization_barrier(
+        (mask_f, iu0.reshape(-1), iv0.reshape(-1), uk, vk, weights)
+    ) + (num_k,)
+
+
+def _pallas_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@partial(jax.jit, static_argnames=(
+    "num_planes", "theta", "w_step", "support", "oversampling",
+    "w_support", "w_oversampling", "subgrid_size", "start_row", "end_row",
+    "freq0_hz", "dfreq_hz"))
+def _grid_all_planes_fused(vis, w_pattern, uv_kernel, w_kernel,
+                           uvws, start_chs, end_chs, subgrid_image,
+                           off_u, off_v, off_w, first_w_plane,
+                           freq0_hz, dfreq_hz, num_planes: int,
+                           theta: float, w_step: float, support: int,
+                           oversampling: int, w_support: int,
+                           w_oversampling: int, subgrid_size: int,
+                           start_row: int, end_row: int):
+    from ..kernels.pallas_tap import grid_all_layers_pallas
+
+    num_chan = vis.shape[1]
+    mask_f, iu0, iv0, uk, vk, weights, num_k = _fused_tap_data(
+        uvws, start_chs, end_chs, off_u, off_v, off_w, first_w_plane,
+        freq0_hz, dfreq_hz, num_chan, num_planes, theta, w_step, support,
+        oversampling, w_support, w_oversampling, subgrid_size, start_row,
+        end_row, uv_kernel, w_kernel)
+    vis_f = vis.reshape(-1)
+    vis_re = jnp.where(mask_f, vis_f.real, 0.0).astype(jnp.float32)
+    vis_im = jnp.where(mask_f, vis_f.imag, 0.0).astype(jnp.float32)
+    vis_re, vis_im = jax.lax.optimization_barrier((vis_re, vis_im))
+
+    acc = grid_all_layers_pallas(
+        vis_re, vis_im, iu0, iv0, uk, vk, weights, num_k, subgrid_size,
+        support, interpret=_pallas_interpret())       # [K, N, N] c64
+
+    # Telescoped tower drain: w_img recurrence (reference :1029-1113)
+    # collapses to sum_k ifft(acc_k) * w_pattern^(first + Sw//2 - Sw + k).
+    layers = ifft_shifted(acc.astype(subgrid_image.dtype))
+    exps = (first_w_plane + w_support // 2 - w_support
+            + jnp.arange(num_k)).astype(jnp.real(w_pattern).dtype)
+    ladder = w_pattern[None, :, :] ** exps[:, None, None]
+    contribution = jnp.sum(layers * ladder.astype(layers.dtype), axis=0)
+    return subgrid_image + contribution.astype(subgrid_image.dtype)
+
+
+@partial(jax.jit, static_argnames=(
+    "num_planes", "theta", "w_step", "support", "oversampling",
+    "w_support", "w_oversampling", "subgrid_size", "start_row", "end_row",
+    "freq0_hz", "dfreq_hz"))
+def _degrid_all_planes_fused(subgrid_image, w_pattern, uv_kernel, w_kernel,
+                             uvws, start_chs, end_chs, vis,
+                             off_u, off_v, off_w, first_w_plane,
+                             freq0_hz, dfreq_hz, num_planes: int,
+                             theta: float, w_step: float, support: int,
+                             oversampling: int, w_support: int,
+                             w_oversampling: int, subgrid_size: int,
+                             start_row: int, end_row: int):
+    from ..kernels.pallas_tap import degrid_all_layers_pallas
+
+    num_chan = vis.shape[1]
+    mask_f, iu0, iv0, uk, vk, weights, num_k = _fused_tap_data(
+        uvws, start_chs, end_chs, off_u, off_v, off_w, first_w_plane,
+        freq0_hz, dfreq_hz, num_chan, num_planes, theta, w_step, support,
+        oversampling, w_support, w_oversampling, subgrid_size, start_row,
+        end_row, uv_kernel, w_kernel)
+
+    # Absolute layer k holds fft(image / w_pattern^(first - Sw//2 + k))
+    # (the fill/step recurrence of reference :803-899, telescoped).
+    exps = (first_w_plane - w_support // 2
+            + jnp.arange(num_k)).astype(jnp.real(w_pattern).dtype)
+    ladder = w_pattern[None, :, :] ** (-exps[:, None, None])
+    layers = fft_shifted(subgrid_image[None, :, :].astype(vis.dtype)
+                         * ladder.astype(vis.dtype))
+
+    vis_flat = degrid_all_layers_pallas(
+        layers, iu0, iv0, uk, vk, weights, support,
+        interpret=_pallas_interpret())
+    contribution = jnp.where(mask_f, vis_flat.astype(vis.dtype),
+                             jnp.zeros((), vis.dtype))
+    return vis + contribution.reshape(vis.shape)
 
 
 @partial(jax.jit, static_argnames=(
@@ -453,6 +639,14 @@ def _grid_all_planes(vis, w_pattern, uv_kernel, w_kernel,
             freq0_hz, dfreq_hz, num_chan, theta, w_step, support,
             oversampling, w_support, w_oversampling, subgrid_size,
             start_row, end_row)
+        if _use_pallas(vis.dtype):
+            from ..kernels.pallas_tap import grid_plane_pallas
+            return grid_plane_pallas(subgrids, vis, uv_kernel, w_kernel,
+                                     geom, support, w_support)
+        if TAP_IMPL != "scatter":
+            from ..kernels.dense_tap import grid_plane_dense
+            return grid_plane_dense(subgrids, vis, uv_kernel, w_kernel,
+                                    geom, support, w_support)
         return _grid_plane_scatter(subgrids, vis, uv_kernel, w_kernel,
                                    geom, support, w_support)
 
