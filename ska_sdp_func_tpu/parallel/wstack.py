@@ -116,8 +116,13 @@ def plan_wstack(uvw, freq0_hz: float, dfreq_hz: float, num_chan: int,
     counting (:66-136), but resolves everything to static Python ints so
     the execution can be traced once and run under `shard_map`.
     """
-    uvw = jnp.asarray(uvw)
-    num_rows = uvw.shape[0]
+    # All planning happens host-side through the native runtime (C++/
+    # OpenMP one-pass planner, NumPy fallback) — a single device->host
+    # transfer of uvw instead of per-box device round-trips.
+    from .. import native
+
+    uvw_np = np.ascontiguousarray(np.asarray(uvw), np.float64)
+    num_rows = uvw_np.shape[0]
     if subgrid_frac == 0.0:
         subgrid_frac = 2.0 / 3.0
     if dfreq_hz == 0.0:
@@ -126,46 +131,42 @@ def plan_wstack(uvw, freq0_hz: float, dfreq_hz: float, num_chan: int,
     eff_sg_dist = eff_sg_size / theta
     w_stack_dist = w_tower_height * w_step
 
-    start_ch = jnp.zeros((num_rows,), jnp.int32)
-    end_ch = jnp.full((num_rows,), num_chan, jnp.int32)
-    (min_iu, max_iu, min_iv, max_iv, min_iw, max_iw) = \
-        _plane_and_subgrid_ranges(uvw, freq0_hz, dfreq_hz, start_ch, end_ch,
-                                  eff_sg_dist, w_stack_dist)
+    start_ch = np.zeros((num_rows,), np.int32)
+    end_ch = np.full((num_rows,), num_chan, np.int32)
+    uvw_min, uvw_max = native.uvw_bounds(uvw_np, freq0_hz, dfreq_hz,
+                                         start_ch, end_ch)
+    eta = 1e-5
+    min_iu = int(math.floor(uvw_min[0] / eff_sg_dist + 0.5 - eta))
+    max_iu = int(math.floor(uvw_max[0] / eff_sg_dist + 0.5 + eta))
+    min_iv = int(math.floor(uvw_min[1] / eff_sg_dist + 0.5 - eta))
+    max_iv = int(math.floor(uvw_max[1] / eff_sg_dist + 0.5 + eta))
+    min_iw = int(math.floor(uvw_min[2] / w_stack_dist + 0.5 - eta))
+    max_iw = int(math.floor(uvw_max[2] / w_stack_dist + 0.5 + eta))
+
+    counts, wmin, wmax = native.plan_wstack_boxes(
+        uvw_np, freq0_hz, dfreq_hz, num_chan, eff_sg_dist, w_stack_dist,
+        (min_iu, max_iu), (min_iv, max_iv), (min_iw, max_iw))
 
     tasks = []
     w_plane_ids = []
-    for iw in range(min_iw, max_iw + 1):
-        min_w = iw * w_stack_dist - w_stack_dist / 2
-        max_w = (iw + 1) * w_stack_dist - w_stack_dist / 2
-        s_w, e_w = clamp_channels_single(
-            uvw, 2, freq0_hz, dfreq_hz, start_ch, end_ch, min_w, max_w)
-        if int(jnp.sum(e_w - s_w)) == 0:
-            continue
+    for jw in range(counts.shape[0]):
+        iw = min_iw + jw
         plane_has_tasks = False
-        for iu in range(min_iu, max_iu + 1):
-            for iv in range(min_iv, max_iv + 1):
-                min_u = iu * eff_sg_dist - eff_sg_dist / 2
-                max_u = (iu + 1) * eff_sg_dist - eff_sg_dist / 2
-                min_v = iv * eff_sg_dist - eff_sg_dist / 2
-                max_v = (iv + 1) * eff_sg_dist - eff_sg_dist / 2
-                s_uv, e_uv = clamp_channels_uv(
-                    uvw, freq0_hz, dfreq_hz, s_w, e_w,
-                    min_u, max_u, min_v, max_v)
-                if int(jnp.sum(e_uv - s_uv)) == 0:
+        for ju in range(counts.shape[1]):
+            for jv in range(counts.shape[2]):
+                if counts[jw, ju, jv] == 0:
                     continue
-                # W-tower plane range for this box, from the *global*
+                # W-tower plane range for this box from the *global*
                 # data bounds (sdp_gridder_wtower_uvw.cpp:780-800). A
                 # shard sees a subset, so the global range is always
                 # sufficient; empty planes contribute exactly zero.
-                uvw_min, uvw_max = uvw_bounds_all(
-                    uvw, freq0_hz, dfreq_hz, s_uv, e_uv)
-                c_min = float(uvw_min[2])
-                c_max = float(uvw_max[2])
                 off_w = int(iw * w_tower_height)
-                eta = 1e-5
-                first = int(np.floor(c_min / w_step - eta)) - off_w
-                last = int(np.ceil(c_max / w_step + eta)) - off_w + 1
-                tasks.append(WStackTask(iu, iv, iw, first, 1 + last - first))
+                first = int(np.floor(wmin[jw, ju, jv] / w_step - eta)) \
+                    - off_w
+                last = int(np.ceil(wmax[jw, ju, jv] / w_step + eta)) \
+                    - off_w + 1
+                tasks.append(WStackTask(min_iu + ju, min_iv + jv, iw,
+                                        first, 1 + last - first))
                 plane_has_tasks = True
         if plane_has_tasks:
             w_plane_ids.append(iw)

@@ -15,6 +15,7 @@ from .data_model import (
     get_vis_metadata,
 )
 from .errors import (
+    CError,
     SdpError,
     SdpDataTypeError,
     SdpInvalidArgumentError,
@@ -28,6 +29,7 @@ from .timers import Timer, Timers, TimerType
 
 __all__ = [
     "C_0",
+    "CError",
     "SdpError",
     "SdpDataTypeError",
     "SdpInvalidArgumentError",

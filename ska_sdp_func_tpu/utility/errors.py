@@ -34,5 +34,11 @@ class SdpMemLocationError(SdpError):
     """
 
 
+# Alias matching the reference Python package's exception name
+# (utility/error_checking.py:30-46 raises `CError` for any non-zero
+# sdp_Error) so users of the reference can except the same symbol.
+CError = SdpError
+
+
 class SdpShapeError(SdpInvalidArgumentError):
     """Array has the wrong number of dimensions or extent."""
