@@ -45,6 +45,11 @@ def main():
     vis = (rng.standard_normal((num_rows, num_chan))
            + 1j * rng.standard_normal((num_rows, num_chan))
            ).astype(np.complex64)
+    # Production ingest bucket-sorts rows by w (native host runtime) so
+    # the kernels' per-(block, layer) skip flags bite.
+    from ska_sdp_func_tpu import native
+    perm = native.sort_rows_by_w(uvw)
+    uvw, vis = uvw[perm], vis[perm]
 
     plan = GridderWtowerUVW(subgrid_size, subgrid_size, theta, w_step,
                             0.0, 0.0, support, oversampling, w_support,

@@ -494,21 +494,78 @@ def _fused_tap_data(uvws, start_chs, end_chs, off_u, off_v, off_w,
                     num_planes, theta, w_step, support, oversampling,
                     w_support, w_oversampling, subgrid_size, start_row,
                     end_row, uv_kernel, w_kernel):
-    """Plane-resolved flat tap arrays for the fused kernels."""
+    """Plane-resolved flat tap arrays for the fused kernels.
+
+    Same addressing as `_plane_geometry`, with the plane-invariant parts
+    (u/v cells, kernel rows, channel window) hoisted out of the
+    per-plane loop — only the w-slab clamp, per-plane row-bounds check
+    and w kernel row remain per plane (all cheap [rows] / [rows, chan]
+    elementwise ops).
+    """
     num_k = num_planes + w_support - 1
+    fdtype = uvws.dtype
+    half_subgrid = subgrid_size // 2
+    theta_ov = theta * oversampling
+    w_step_ov = (1.0 / w_step) * w_oversampling
+    half_sg_size_ov = (half_subgrid - support // 2 + 1) * oversampling
+
+    s_uvw0 = freq0_hz / C_0
+    s_duvw = dfreq_hz / C_0
+    uvw_s = uvws * s_uvw0
+    duvw = uvws * s_duvw
+    u0 = uvw_s[:, 0] - off_u.astype(fdtype) / theta
+    v0 = uvw_s[:, 1] - off_v.astype(fdtype) / theta
+    w0 = uvw_s[:, 2]
+
+    chan = jnp.arange(num_chan)
+    chan_f = chan.astype(fdtype)
+    u = u0[:, None] + chan_f[None, :] * duvw[:, 0:1]
+    v = v0[:, None] + chan_f[None, :] * duvw[:, 1:2]
+    iu0_ov = _round_half_away(u * theta_ov).astype(jnp.int32) \
+        + half_sg_size_ov
+    iv0_ov = _round_half_away(v * theta_ov).astype(jnp.int32) \
+        + half_sg_size_ov
+    iu0 = jnp.clip(iu0_ov // oversampling, 0, subgrid_size - support)
+    iv0 = jnp.clip(iv0_ov // oversampling, 0, subgrid_size - support)
+    u_row = jnp.mod(iu0_ov, oversampling)
+    v_row = jnp.mod(iv0_ov, oversampling)
+
+    row_ids = jnp.arange(uvws.shape[0])
+    row_sel = (row_ids >= start_row) & (row_ids < end_row)
+    w_coord = uvws[:, 2]
+
     mask_any = None
     j_idx = None
     w_row_sel = None
-    geom0 = None
     for p in range(num_planes):
-        geom = _plane_geometry(
-            uvws, start_chs, end_chs, first_w_plane + p, off_u, off_v,
-            off_w, freq0_hz, dfreq_hz, num_chan, theta, w_step, support,
-            oversampling, w_support, w_oversampling, subgrid_size,
-            start_row, end_row)
-        mask_p, _, _, _, _, w_row_p = geom
-        if geom0 is None:
-            geom0 = geom
+        w_plane = first_w_plane + p
+        min_w = (w_plane + off_w - 1).astype(fdtype) * w_step
+        max_w = (w_plane + off_w).astype(fdtype) * w_step
+        start_ch, end_ch = clamp_channels_inline(
+            w_coord, freq0_hz, dfreq_hz, start_chs, end_chs, min_w, max_w)
+        row_active = row_sel & (start_ch < end_ch)
+        # Row bounds check over the plane's clamped channel range
+        # (reference :112-121).
+        start_f = start_ch.astype(fdtype)
+        end1_f = (end_ch - 1).astype(fdtype)
+        u_min = jnp.floor(theta * (u0 + start_f * duvw[:, 0]))
+        u_max = jnp.ceil(theta * (u0 + end1_f * duvw[:, 0]))
+        v_min = jnp.floor(theta * (v0 + start_f * duvw[:, 1]))
+        v_max = jnp.ceil(theta * (v0 + end1_f * duvw[:, 1]))
+        in_bounds = ((u_min >= -half_subgrid) & (u_max < half_subgrid)
+                     & (v_min >= -half_subgrid) & (v_max < half_subgrid))
+        row_active = row_active & in_bounds
+        cmask = ((chan[None, :] >= start_ch[:, None])
+                 & (chan[None, :] < end_ch[:, None]))
+        mask_p = row_active[:, None] & cmask
+        # w kernel row for this plane's shift (exact op order of
+        # _plane_geometry: shift w0 per row, then the channel ramp).
+        w0_p = w0 - (off_w + w_plane - 1).astype(fdtype) * w_step
+        w_p = w0_p[:, None] + chan_f[None, :] * duvw[:, 2:3]
+        w_row_p = jnp.mod(
+            _round_half_away(w_p * w_step_ov).astype(jnp.int32),
+            w_oversampling)
+        if mask_any is None:
             mask_any = mask_p
             j_idx = jnp.where(mask_p, p, 0)
             w_row_sel = jnp.where(mask_p, w_row_p, 0)
@@ -516,7 +573,6 @@ def _fused_tap_data(uvws, start_chs, end_chs, off_u, off_v, off_w,
             mask_any = mask_any | mask_p
             j_idx = jnp.where(mask_p, p, j_idx)
             w_row_sel = jnp.where(mask_p, w_row_p, w_row_sel)
-    _, iu0, iv0, u_row, v_row, _ = geom0
 
     mask_f = mask_any.reshape(-1)
     j_f = j_idx.reshape(-1)

@@ -66,45 +66,58 @@ def _build_band_t(i0_row, taps_t_ref, num_v: int, size: int, support: int):
     return band
 
 
-def _grid_kernel(iu0_ref, iv0_ref, ukt_ref, vk_ref, scales_ref, out_ref,
-                 *, support: int, num_p: int, precision):
+def _grid_kernel(flags_ref, iu0_ref, iv0_ref, ukt_ref, vk_ref, scales_ref,
+                 out_ref, *, support: int, num_p: int, precision):
     step = pl.program_id(0)
     num_v = vk_ref.shape[0]
     size = out_ref.shape[-1]
-    au_t = _build_band_t(iu0_ref[:], ukt_ref, num_v, size, support)
-    av = _build_band(iv0_ref[:], vk_ref, num_v, size, support)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for p in range(num_p):
-        contrib = jnp.dot(au_t * scales_ref[p:p + 1, :], av,
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
-        out_ref[p, :, :] += contrib
+    # Per-(block, layer) skip flags (scalar-prefetched): with w-sorted
+    # rows most blocks only touch ~w_support of the K layers — skip the
+    # other dots entirely.
+    @pl.when(flags_ref[step, num_p] != 0)
+    def _():
+        au_t = _build_band_t(iu0_ref[:], ukt_ref, num_v, size, support)
+        av = _build_band(iv0_ref[:], vk_ref, num_v, size, support)
+        for p in range(num_p):
+            @pl.when(flags_ref[step, p] != 0)
+            def _(p=p, au_t=au_t, av=av):
+                contrib = jnp.dot(au_t * scales_ref[p:p + 1, :], av,
+                                  preferred_element_type=jnp.float32,
+                                  precision=precision)
+                out_ref[p, :, :] += contrib
 
 
-def _degrid_kernel(iu0_ref, iv0_ref, uk_ref, vk_ref, wk_ref, sub_ref,
-                   out_ref, *, support: int, num_layers: int, precision):
+def _degrid_kernel(flags_ref, iu0_ref, iv0_ref, uk_ref, vk_ref, wk_ref,
+                   sub_ref, out_ref, *, support: int, num_layers: int,
+                   precision):
+    step = pl.program_id(0)
     num_v = uk_ref.shape[0]
     size = sub_ref.shape[-1]
-    au = _build_band(iu0_ref[:], uk_ref, num_v, size, support)
-    av = _build_band(iv0_ref[:], vk_ref, num_v, size, support)
-    acc_re = jnp.zeros((num_v, 1), jnp.float32)
-    acc_im = jnp.zeros((num_v, 1), jnp.float32)
-    for layer in range(num_layers):
-        t_re = jnp.dot(au, sub_ref[layer],
-                       preferred_element_type=jnp.float32,
-                       precision=precision)
-        t_im = jnp.dot(au, sub_ref[num_layers + layer],
-                       preferred_element_type=jnp.float32,
-                       precision=precision)
-        wl = wk_ref[:, layer:layer + 1]
-        acc_re = acc_re + wl * jnp.sum(t_re * av, axis=1, keepdims=True)
-        acc_im = acc_im + wl * jnp.sum(t_im * av, axis=1, keepdims=True)
-    out_ref[:, 0:1] = acc_re
-    out_ref[:, 1:2] = acc_im
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(flags_ref[step, num_layers] != 0)
+    def _():
+        au = _build_band(iu0_ref[:], uk_ref, num_v, size, support)
+        av = _build_band(iv0_ref[:], vk_ref, num_v, size, support)
+        for layer in range(num_layers):
+            @pl.when(flags_ref[step, layer] != 0)
+            def _(layer=layer, au=au, av=av):
+                t_re = jnp.dot(au, sub_ref[layer],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+                t_im = jnp.dot(au, sub_ref[num_layers + layer],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+                wl = wk_ref[:, layer:layer + 1]
+                out_ref[:, 0:1] += wl * jnp.sum(t_re * av, axis=1,
+                                                keepdims=True)
+                out_ref[:, 1:2] += wl * jnp.sum(t_im * av, axis=1,
+                                                keepdims=True)
 
 
 def _precision(fast: bool):
@@ -113,6 +126,19 @@ def _precision(fast: bool):
 
 def _pad_rows(x: Array, pad: int):
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+def _block_flags(values: Array, num_blocks: int, block_v: int) -> Array:
+    """[nb, P+1] int32: per-(block, layer) any-nonzero + block-any."""
+    per_layer = jnp.any(
+        values.reshape(num_blocks, block_v, values.shape[1]) != 0, axis=1)
+    any_col = jnp.any(per_layer, axis=1, keepdims=True)
+    return jnp.concatenate([per_layer, any_col], axis=1).astype(jnp.int32)
+
+
+def _flags_spec(num_p: int):
+    return pl.BlockSpec((1, num_p + 1), lambda i, *_: (i, 0),
+                        memory_space=pltpu.SMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("support", "w_support",
@@ -153,31 +179,35 @@ def grid_plane_pallas(subgrids: Array, vis: Array, uv_kernel: Array,
     scales_t = scales.T           # [2L, V]
 
     num_blocks = iu0.shape[0] // block_v
+    flags = _block_flags(scales, num_blocks, block_v)
     out = pl.pallas_call(
         functools.partial(_grid_kernel, support=support, num_p=num_p,
                           precision=_precision(fast)),
-        grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, block_v), lambda i: (0, i),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+            pl.BlockSpec((1, block_v), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_v, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((support, block_v), lambda i: (0, i),
+            pl.BlockSpec((support, block_v), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, support), lambda i: (i, 0),
+            pl.BlockSpec((block_v, support), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_p, block_v), lambda i: (0, i),
+            pl.BlockSpec((num_p, block_v), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((num_p, size_pad, size_pad),
-                               lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (num_p, size_pad, size_pad), lambda i, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((num_p, size_pad, size_pad),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(iu0_t, iv0, uk_t, vk, scales_t)
+    )(flags, iu0_t, iv0, uk_t, vk, scales_t)
 
     out = out[:, :size, :size]
     contrib = jax.lax.complex(out[:w_support], out[w_support:])
@@ -202,6 +232,10 @@ def degrid_plane_pallas(subgrids: Array, uv_kernel: Array, w_kernel: Array,
     uk = uv_kernel[u_row.reshape(-1)].astype(jnp.float32)
     vk = uv_kernel[v_row.reshape(-1)].astype(jnp.float32)
     wk = w_kernel[w_row.reshape(-1)].astype(jnp.float32)
+    # Zero masked lanes so the skip flags see true activity (outputs of
+    # masked lanes are discarded anyway).
+    wk = jnp.where(mask.reshape(-1)[:, None], wk,
+                   jnp.zeros((), jnp.float32))
     pad = _round_up(max(v_total, block_v), block_v) - v_total
     iu0 = _pad_rows(iu0.reshape(-1, 1), pad)
     iv0 = _pad_rows(iv0.reshape(-1, 1), pad)
@@ -217,32 +251,37 @@ def degrid_plane_pallas(subgrids: Array, uv_kernel: Array, w_kernel: Array,
                             (0, size_pad - size)))
 
     num_blocks = iu0.shape[0] // block_v
+    flags = _block_flags(wk, num_blocks, block_v)
     out = pl.pallas_call(
         functools.partial(_degrid_kernel, support=support,
                           num_layers=w_support,
                           precision=_precision(fast)),
-        grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec((block_v, 1), lambda i: (i, 0),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+            pl.BlockSpec((block_v, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_v, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, support), lambda i: (i, 0),
+            pl.BlockSpec((block_v, support), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, support), lambda i: (i, 0),
+            pl.BlockSpec((block_v, support), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, w_support), lambda i: (i, 0),
+            pl.BlockSpec((block_v, w_support), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * w_support, size_pad, size_pad),
-                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_v, 2), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (block_v, 2), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((iu0.shape[0], 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(iu0, iv0, uk, vk, wk, sub)
+    )(flags, iu0, iv0, uk, vk, wk, sub)
 
     vis_f = jax.lax.complex(out[:v_total, 0], out[:v_total, 1])
     cdtype = subgrids.dtype
@@ -291,31 +330,35 @@ def grid_all_layers_pallas(vis_re, vis_im, iu0, iv0, uk, vk, weights,
     scales = _pad_rows(scales.astype(jnp.float32), pad)
 
     num_blocks = iu0.shape[0] // block_v
+    flags = _block_flags(scales, num_blocks, block_v)
     out = pl.pallas_call(
         functools.partial(_grid_kernel, support=support, num_p=num_p,
                           precision=_precision(fast)),
-        grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, block_v), lambda i: (0, i),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+            pl.BlockSpec((1, block_v), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_v, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((support, block_v), lambda i: (0, i),
+            pl.BlockSpec((support, block_v), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, support), lambda i: (i, 0),
+            pl.BlockSpec((block_v, support), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_p, block_v), lambda i: (0, i),
+            pl.BlockSpec((num_p, block_v), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((num_p, size_pad, size_pad),
-                               lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (num_p, size_pad, size_pad), lambda i, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((num_p, size_pad, size_pad),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(iu0.T, iv0, uk.T, vk, scales.T)
+    )(flags, iu0.T, iv0, uk.T, vk, scales.T)
 
     out = out[:, :size, :size]
     return jax.lax.complex(out[:num_layers], out[num_layers:])
@@ -346,31 +389,36 @@ def degrid_all_layers_pallas(layers: Array, iu0, iv0, uk, vk, weights,
                             (0, size_pad - size)))
 
     num_blocks = iu0.shape[0] // block_v
+    flags = _block_flags(weights, num_blocks, block_v)
     out = pl.pallas_call(
         functools.partial(_degrid_kernel, support=support,
                           num_layers=num_layers,
                           precision=_precision(fast)),
-        grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec((block_v, 1), lambda i: (i, 0),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+            pl.BlockSpec((block_v, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_v, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, support), lambda i: (i, 0),
+            pl.BlockSpec((block_v, support), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, support), lambda i: (i, 0),
+            pl.BlockSpec((block_v, support), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, num_layers), lambda i: (i, 0),
+            pl.BlockSpec((block_v, num_layers), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * num_layers, size_pad, size_pad),
-                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_v, 2), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (block_v, 2), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((iu0.shape[0], 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(iu0, iv0, uk, vk, weights, sub)
+    )(flags, iu0, iv0, uk, vk, weights, sub)
 
     return jax.lax.complex(out[:v_total, 0], out[:v_total, 1])
