@@ -18,6 +18,7 @@ Here the distribution layer is TPU-native and built in:
 """
 
 from .mesh import make_mesh, pad_rows, row_sharding
+from .swiftly_dist import SwiftlyDistributed
 from .wstack import (
     WStackPlan,
     WStackTask,
@@ -27,6 +28,7 @@ from .wstack import (
 )
 
 __all__ = [
+    "SwiftlyDistributed",
     "WStackPlan",
     "WStackTask",
     "make_mesh",

@@ -7,6 +7,7 @@ through jitted grid/CLEAN/degrid graphs, optionally over a device mesh
 (visibility rows sharded, partial grids `psum`-reduced).
 """
 
+from .checkpoint import load_result, load_state, save_result, save_state
 from .major_cycle import (
     ImagingResult,
     dirty_and_psf,
@@ -17,6 +18,10 @@ from .major_cycle import (
 __all__ = [
     "ImagingResult",
     "dirty_and_psf",
+    "load_result",
+    "load_state",
     "major_cycle_imager",
     "make_psf_plan",
+    "save_result",
+    "save_state",
 ]

@@ -131,7 +131,9 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        cbeam_details=(2.0, 2.0, 1.0, 128.0),
                        mesh: Optional[Mesh] = None,
                        border: Optional[int] = None,
-                       mgain: float = 0.8) -> ImagingResult:
+                       mgain: float = 0.8,
+                       checkpoint_path: Optional[str] = None
+                       ) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
     All heavy stages are jitted; with ``mesh`` the grid/degrid stages run
@@ -142,6 +144,10 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     the sidelobe level before the exact degrid re-prediction corrects the
     residual — without this the minor cycle over-cleans sidelobes of
     sparse uv coverage and the major loop diverges.
+
+    With ``checkpoint_path`` the solver state is persisted after every
+    major cycle and resumed from disk on restart (see
+    :mod:`.checkpoint`).
     """
     vis = jnp.asarray(vis)
     uvw = jnp.asarray(uvw)
@@ -160,8 +166,18 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     model = jnp.zeros((image_size, image_size), rdtype)
     residual_img = jnp.zeros_like(model)
     peak_history: List[float] = []
+    start_cycle = 0
+    if checkpoint_path is not None:
+        import os
 
-    for _ in range(n_major):
+        from .checkpoint import load_state, save_state
+        if os.path.exists(checkpoint_path):
+            model, residual_img, start_cycle, peak_history, _ = \
+                load_state(checkpoint_path)
+            model = model.astype(rdtype)
+            residual_img = residual_img.astype(rdtype)
+
+    for cycle in range(start_cycle, n_major):
         pred = _degrid(plan, kernel, model.astype(vis.dtype), uvw, mesh,
                        vis.dtype)
         res_vis = vis - pred
@@ -175,6 +191,9 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
             dirty, psf, float(loop_gain), stop, int(cycle_limit))
         model = model + delta
         peak_history.append(float(jnp.max(jnp.abs(residual_img))))
+        if checkpoint_path is not None:
+            save_state(checkpoint_path, model, residual_img, cycle + 1,
+                       peak_history)
         if peak_history[-1] < threshold:
             break
 

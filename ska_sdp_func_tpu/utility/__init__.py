@@ -24,6 +24,7 @@ from .errors import (
     SdpShapeError,
 )
 from .logging import get_logger, log_debug, log_info, log_warning, log_error, log_critical
+from .profiling import annotate, trace
 from .sky_coord import SkyCoord
 from .timers import Timer, Timers, TimerType
 
@@ -37,6 +38,8 @@ __all__ = [
     "SdpRuntimeError",
     "SdpShapeError",
     "SkyCoord",
+    "annotate",
+    "trace",
     "Timer",
     "Timers",
     "TimerType",

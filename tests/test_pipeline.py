@@ -108,3 +108,24 @@ def test_major_cycle_multichip_matches_single(scenario):
                                np.asarray(res1.model), atol=1e-6)
     np.testing.assert_allclose(np.asarray(res8.residual),
                                np.asarray(res1.residual), atol=1e-6)
+
+
+def test_checkpoint_resume(scenario, tmp_path):
+    """Solver state persists per major cycle and resumes exactly."""
+    s = scenario
+    kwargs = dict(n_major=2, loop_gain=0.2, threshold=1e-3, cycle_limit=100)
+    ref = major_cycle_imager(
+        s["plan"], jnp.asarray(s["vis"]), jnp.asarray(s["uvw"]), **kwargs)
+    ckpt = str(tmp_path / "state.npz")
+    # Run only the first major cycle, checkpointing.
+    major_cycle_imager(
+        s["plan"], jnp.asarray(s["vis"]), jnp.asarray(s["uvw"]),
+        n_major=1, loop_gain=0.2, threshold=1e-3, cycle_limit=100,
+        checkpoint_path=ckpt)
+    # Resume and finish.
+    res = major_cycle_imager(
+        s["plan"], jnp.asarray(s["vis"]), jnp.asarray(s["uvw"]),
+        checkpoint_path=ckpt, **kwargs)
+    np.testing.assert_allclose(np.asarray(res.model),
+                               np.asarray(ref.model), atol=1e-12)
+    assert res.peak_history == ref.peak_history
