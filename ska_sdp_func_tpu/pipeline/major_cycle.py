@@ -20,6 +20,7 @@ shard visibility rows and reduce partial images with `psum`
 (:mod:`ska_sdp_func_tpu.parallel`).
 """
 
+import functools
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -66,6 +67,36 @@ def make_psf_plan(plan: WStackPlan, uvw: Array) -> WStackPlan:
         plan.subgrid_frac, plan.w_tower_height)
 
 
+# Jitted single-chip drivers, cached per plan/kernel pair (plans are
+# long-lived; eager execution of the task drivers would dispatch
+# thousands of small ops — and eager complex ops break some TPU
+# attachments, see utility/device.py).
+_JIT_CACHE: dict = {}
+
+
+def _jitted_driver(plan, kernel, which: str, vis_dtype=None):
+    key = (id(plan), id(kernel), which, jnp.dtype(vis_dtype).name
+           if vis_dtype is not None else None)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        if which == "grid":
+            fn = jax.jit(lambda v, u, s, e: grid_all_tasks(
+                plan, kernel, v, u, s, e).real)
+        else:
+            fn = jax.jit(lambda img, u, s, e: degrid_all_tasks(
+                plan, kernel, img, u, s, e, vis_dtype))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _whole_jit() -> bool:
+    # Whole-driver jit on TPU (eager complex ops break some attachments
+    # and eager dispatch is latency-bound through a tunnel); eager task
+    # loop on CPU where the inner jitted per-task drivers are shared and
+    # whole-graph compilation of all tasks would dominate.
+    return jax.default_backend() == "tpu"
+
+
 def _grid(plan: WStackPlan, kernel: GridderWtowerUVW, vis: Array,
           uvw: Array, mesh: Optional[Mesh]) -> Array:
     if mesh is not None:
@@ -74,6 +105,8 @@ def _grid(plan: WStackPlan, kernel: GridderWtowerUVW, vis: Array,
     num_rows = vis.shape[0]
     s = jnp.zeros((num_rows,), jnp.int32)
     e = jnp.full((num_rows,), plan.num_chan, jnp.int32)
+    if _whole_jit():
+        return _jitted_driver(plan, kernel, "grid")(vis, uvw, s, e)
     return grid_all_tasks(plan, kernel, vis, uvw, s, e).real
 
 
@@ -85,7 +118,35 @@ def _degrid(plan: WStackPlan, kernel: GridderWtowerUVW, image: Array,
     num_rows = uvw.shape[0]
     s = jnp.zeros((num_rows,), jnp.int32)
     e = jnp.full((num_rows,), plan.num_chan, jnp.int32)
+    if _whole_jit():
+        return _jitted_driver(plan, kernel, "degrid", vis_dtype)(
+            image, uvw, s, e)
     return degrid_all_tasks(plan, kernel, image, uvw, s, e, vis_dtype)
+
+
+# Module-level jits for the inter-stage glue: on tunnelled TPU
+# attachments eager complex ops are unsupported (utility/device.py) and
+# every eager dispatch pays tunnel latency.
+_sub = jax.jit(lambda a, b: a - b)
+_mul = jax.jit(lambda a, b: a * b)
+_ones_like = jax.jit(jnp.ones_like)
+_add = jax.jit(lambda a, b: a + b)
+
+
+@jax.jit
+def _stop_level(dirty, threshold, mgain):
+    return jnp.maximum(threshold, (1.0 - mgain) * jnp.max(jnp.abs(dirty)))
+
+
+@jax.jit
+def _abs_max(x):
+    return jnp.max(jnp.abs(x))
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def _norm_mask(image: Array, peak, margin: int) -> Array:
+    """Normalise by the PSF peak and zero the border margin, fused."""
+    return _mask_border(image / peak.astype(image.dtype), margin)
 
 
 def _mask_border(image: Array, margin: int) -> Array:
@@ -117,10 +178,10 @@ def dirty_and_psf(plan: WStackPlan, vis: Array, uvw: Array,
     kernel = plan.kernel()
     psf_kernel = psf_plan.kernel()
     dirty = _grid(plan, kernel, vis, uvw, mesh)
-    psf = _grid(psf_plan, psf_kernel, jnp.ones_like(vis), uvw, mesh)
+    psf = _grid(psf_plan, psf_kernel, _ones_like(vis), uvw, mesh)
     peak = psf[psf.shape[0] // 2, psf.shape[1] // 2]
-    dirty = _mask_border(dirty / peak, border)
-    psf = _mask_border(psf / peak, 2 * border)
+    dirty = _norm_mask(dirty, peak, border)
+    psf = _norm_mask(psf, peak, 2 * border)
     return dirty, psf
 
 
@@ -132,7 +193,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        mesh: Optional[Mesh] = None,
                        border: Optional[int] = None,
                        mgain: float = 0.8,
-                       checkpoint_path: Optional[str] = None
+                       checkpoint_path: Optional[str] = None,
+                       weights: Optional[Array] = None
                        ) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
@@ -159,9 +221,18 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
 
     if border is None:
         border = image_size // 16
-    psf = _grid(psf_plan, psf_kernel, jnp.ones_like(vis), uvw, mesh)
+    if weights is None:
+        psf_vis = _ones_like(vis)
+    else:
+        # Imaging weights (e.g. visibility.briggs_weights output): the
+        # PSF uses the weights, the data the weighted visibilities, and
+        # the PSF-peak normalisation makes the scale consistent.
+        weights = jnp.asarray(weights)
+        psf_vis = weights.astype(vis.dtype)
+        vis = _mul(vis, psf_vis)
+    psf = _grid(psf_plan, psf_kernel, psf_vis, uvw, mesh)
     peak = psf[image_size, image_size]  # centre of the 2N PSF
-    psf = _mask_border(psf / peak, 2 * border)
+    psf = _norm_mask(psf, peak, 2 * border)
 
     model = jnp.zeros((image_size, image_size), rdtype)
     residual_img = jnp.zeros_like(model)
@@ -178,19 +249,19 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
             residual_img = residual_img.astype(rdtype)
 
     for cycle in range(start_cycle, n_major):
-        pred = _degrid(plan, kernel, model.astype(vis.dtype), uvw, mesh,
-                       vis.dtype)
-        res_vis = vis - pred
-        dirty = _mask_border(
-            _grid(plan, kernel, res_vis, uvw, mesh) / peak.astype(rdtype),
-            border)
-        dirty_peak = jnp.max(jnp.abs(dirty))
-        stop = jnp.maximum(jnp.asarray(threshold, rdtype),
-                           (1.0 - mgain) * dirty_peak)
+        pred = _degrid(plan, kernel, model, uvw, mesh, vis.dtype)
+        if weights is not None:
+            # dirty = A^T W (V - A model): weight the prediction too.
+            pred = _mul(pred, psf_vis)
+        res_vis = _sub(vis, pred)
+        dirty = _norm_mask(_grid(plan, kernel, res_vis, uvw, mesh),
+                           peak, border)
+        stop = _stop_level(dirty, jnp.asarray(threshold, rdtype),
+                           jnp.asarray(mgain, rdtype))
         delta, residual_img = _minor_cycle(
             dirty, psf, float(loop_gain), stop, int(cycle_limit))
-        model = model + delta
-        peak_history.append(float(jnp.max(jnp.abs(residual_img))))
+        model = _add(model, delta)
+        peak_history.append(float(_abs_max(residual_img)))
         if checkpoint_path is not None:
             save_state(checkpoint_path, model, residual_img, cycle + 1,
                        peak_history)
@@ -199,8 +270,13 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
 
     cbeam = create_cbeam(jnp.asarray(cbeam_details, rdtype),
                          int(cbeam_details[3]))
-    convolved = fft_convolution(
-        model.astype(jnp.result_type(model.dtype, jnp.complex64)), cbeam)
-    restored = convolved.real.astype(rdtype) + residual_img
+    restored = _restore(model, cbeam, residual_img)
     return ImagingResult(model=model, residual=residual_img,
                          restored=restored, peak_history=peak_history)
+
+
+@jax.jit
+def _restore(model, cbeam, residual_img):
+    convolved = fft_convolution(
+        model.astype(jnp.result_type(model.dtype, jnp.complex64)), cbeam)
+    return convolved.real.astype(model.dtype) + residual_img
