@@ -598,6 +598,12 @@ def _pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pallas_fast() -> bool:
+    """Opt-in single-pass MXU (~3x fewer passes, ~4e-3 kernel error):
+    SKA_SDP_FUNC_TPU_FAST_MXU=1. Default is Precision.HIGHEST."""
+    return bool(os.environ.get("SKA_SDP_FUNC_TPU_FAST_MXU"))
+
+
 @partial(jax.jit, static_argnames=(
     "num_planes", "theta", "w_step", "support", "oversampling",
     "w_support", "w_oversampling", "subgrid_size", "start_row", "end_row",
@@ -625,7 +631,8 @@ def _grid_all_planes_fused(vis, w_pattern, uv_kernel, w_kernel,
 
     acc = grid_all_layers_pallas(
         vis_re, vis_im, iu0, iv0, uk, vk, weights, num_k, subgrid_size,
-        support, interpret=_pallas_interpret())       # [K, N, N] c64
+        support, interpret=_pallas_interpret(),
+        fast=_pallas_fast())                          # [K, N, N] c64
 
     # Telescoped tower drain: w_img recurrence (reference :1029-1113)
     # collapses to sum_k ifft(acc_k) * w_pattern^(first + Sw//2 - Sw + k).
@@ -668,7 +675,7 @@ def _degrid_all_planes_fused(subgrid_image, w_pattern, uv_kernel, w_kernel,
 
     vis_flat = degrid_all_layers_pallas(
         layers, iu0, iv0, uk, vk, weights, support,
-        interpret=_pallas_interpret())
+        interpret=_pallas_interpret(), fast=_pallas_fast())
     contribution = jnp.where(mask_f, vis_flat.astype(vis.dtype),
                              jnp.zeros((), vis.dtype))
     return vis + contribution.reshape(vis.shape)

@@ -50,6 +50,8 @@ from .mesh import ROW_AXIS, pad_rows_arrays
 
 Array = jax.Array
 
+_KERNEL_CACHE: dict = {}
+
 
 @dataclass(frozen=True)
 class WStackTask:
@@ -96,10 +98,16 @@ class WStackPlan:
         return self.w_tower_height * self.w_step
 
     def kernel(self) -> GridderWtowerUVW:
-        return GridderWtowerUVW(
-            self.image_size, self.subgrid_size, self.theta, self.w_step,
-            self.shear_u, self.shear_v, self.support, self.oversampling,
-            self.w_support, self.w_oversampling)
+        """Gridder plan for this geometry — cached by value so repeated
+        calls share one kernel object (and downstream jit caches)."""
+        key = (self.image_size, self.subgrid_size, self.theta,
+               self.w_step, self.shear_u, self.shear_v, self.support,
+               self.oversampling, self.w_support, self.w_oversampling)
+        kern = _KERNEL_CACHE.get(key)
+        if kern is None:
+            kern = GridderWtowerUVW(*key)
+            _KERNEL_CACHE[key] = kern
+        return kern
 
 
 def plan_wstack(uvw, freq0_hz: float, dfreq_hz: float, num_chan: int,
@@ -291,6 +299,14 @@ def degrid_all_tasks(plan: WStackPlan, kernel: GridderWtowerUVW,
 # shard_map wrappers over a device mesh
 # ---------------------------------------------------------------------------
 
+_SHARDED_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh, axis_name: str):
+    return (tuple(int(d.id) for d in mesh.devices.flat),
+            tuple(mesh.axis_names), axis_name)
+
+
 def wstack_grid_all_sharded(plan: WStackPlan, vis: Array, uvw: Array,
                             mesh: Mesh,
                             kernel: Optional[GridderWtowerUVW] = None,
@@ -315,16 +331,22 @@ def wstack_grid_all_sharded(plan: WStackPlan, vis: Array, uvw: Array,
     if image_dtype is None:
         image_dtype = vis.dtype
 
-    def body(vis_s, uvw_s, s_s, e_s):
-        partial = grid_all_tasks(plan, kernel, vis_s, uvw_s, s_s, e_s)
-        return jax.lax.psum(partial, axis_name)
+    key = ("grid", plan, id(kernel), _mesh_key(mesh, axis_name))
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        def body(vis_s, uvw_s, s_s, e_s):
+            partial = grid_all_tasks(plan, kernel, vis_s, uvw_s, s_s, e_s)
+            return jax.lax.psum(partial, axis_name)
 
-    # check_vma=False: scan carries inside the gridder start as unvarying
-    # zeros, which the varying-manual-axes checker would reject.
-    gridded = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=P(), check_vma=False))(vis_p, uvw_p, s_p, e_p)
+        # check_vma=False: scan carries inside the gridder start as
+        # unvarying zeros, which the varying-manual-axes checker rejects.
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                      P(axis_name)),
+            out_specs=P(), check_vma=False))
+        _SHARDED_CACHE[key] = fn
+    gridded = fn(vis_p, uvw_p, s_p, e_p)
     if not jnp.issubdtype(image_dtype, jnp.complexfloating):
         gridded = gridded.real
     return gridded.astype(image_dtype)
@@ -349,12 +371,18 @@ def wstack_degrid_all_sharded(plan: WStackPlan, image: Array, uvw: Array,
     uvw_p, _, s_p, e_p = pad_rows_arrays(
         uvw, None, start_chs, end_chs, num_shards)
 
-    def body(image_r, uvw_s, s_s, e_s):
-        return degrid_all_tasks(plan, kernel, image_r, uvw_s, s_s, e_s,
-                                vis_dtype)
+    key = ("degrid", plan, id(kernel), _mesh_key(mesh, axis_name),
+           jnp.dtype(vis_dtype).name)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        def body(image_r, uvw_s, s_s, e_s):
+            return degrid_all_tasks(plan, kernel, image_r, uvw_s, s_s,
+                                    e_s, vis_dtype)
 
-    vis = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=P(axis_name), check_vma=False))(image, uvw_p, s_p, e_p)
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=P(axis_name), check_vma=False))
+        _SHARDED_CACHE[key] = fn
+    vis = fn(image, uvw_p, s_p, e_p)
     return vis[:num_rows]

@@ -75,7 +75,10 @@ _JIT_CACHE: dict = {}
 
 
 def _jitted_driver(plan, kernel, which: str, vis_dtype=None):
-    key = (id(plan), id(kernel), which, jnp.dtype(vis_dtype).name
+    # Value-based key: WStackPlan is a frozen dataclass and kernels are
+    # cached by geometry, so equal plans share compiled drivers across
+    # solver invocations.
+    key = (plan, id(kernel), which, jnp.dtype(vis_dtype).name
            if vis_dtype is not None else None)
     fn = _JIT_CACHE.get(key)
     if fn is None:
