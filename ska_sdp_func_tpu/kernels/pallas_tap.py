@@ -308,7 +308,7 @@ def degrid_plane_pallas(subgrids: Array, uv_kernel: Array, w_kernel: Array,
                                              "interpret"))
 def grid_all_layers_pallas(vis_re, vis_im, iu0, iv0, uk, vk, weights,
                            num_layers: int, size: int, support: int,
-                           block_v: int = 2048, fast: bool = False,
+                           block_v: int = 1024, fast: bool = False,
                            interpret: bool = False) -> Array:
     """All-layer gridding: flat taps -> [K, size, size] complex64.
 
