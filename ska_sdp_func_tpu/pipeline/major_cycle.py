@@ -197,7 +197,9 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        border: Optional[int] = None,
                        mgain: float = 0.8,
                        checkpoint_path: Optional[str] = None,
-                       weights: Optional[Array] = None
+                       weights: Optional[Array] = None,
+                       clean_algorithm: str = "hogbom",
+                       scale_list: Tuple[int, ...] = (0, 8, 16)
                        ) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
@@ -213,6 +215,15 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     With ``checkpoint_path`` the solver state is persisted after every
     major cycle and resumed from disk on restart (see
     :mod:`.checkpoint`).
+
+    ``clean_algorithm``: "hogbom" (default) or "msclean" (multi-scale
+    Cornwell minor cycles over ``scale_list``; converges like Hogbom on
+    extended emission — use scales matched to the source structure, as
+    inappropriate large scales bias point-source fluxes). The solver's
+    multi-scale path registers the scale-convolved PSFs against the
+    model's kernel windows (the standalone reference-faithful
+    :func:`~ska_sdp_func_tpu.clean.ms_clean_cornwell` keeps the
+    reference's raw even-size convolution alignment).
     """
     vis = jnp.asarray(vis)
     uvw = jnp.asarray(uvw)
@@ -236,6 +247,15 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     psf = _grid(psf_plan, psf_kernel, psf_vis, uvw, mesh)
     peak = psf[image_size, image_size]  # centre of the 2N PSF
     psf = _norm_mask(psf, peak, 2 * border)
+
+    if clean_algorithm == "msclean":
+        minor = _make_msclean_minor(psf, tuple(int(s) for s in scale_list),
+                                    float(loop_gain), int(cycle_limit))
+    elif clean_algorithm == "hogbom":
+        minor = lambda dirty, stop: _minor_cycle(
+            dirty, psf, float(loop_gain), stop, int(cycle_limit))
+    else:
+        raise ValueError(f"unknown clean_algorithm {clean_algorithm!r}")
 
     model = jnp.zeros((image_size, image_size), rdtype)
     residual_img = jnp.zeros_like(model)
@@ -261,8 +281,7 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                            peak, border)
         stop = _stop_level(dirty, jnp.asarray(threshold, rdtype),
                            jnp.asarray(mgain, rdtype))
-        delta, residual_img = _minor_cycle(
-            dirty, psf, float(loop_gain), stop, int(cycle_limit))
+        delta, residual_img = minor(dirty, stop)
         model = _add(model, delta)
         peak_history.append(float(_abs_max(residual_img)))
         if checkpoint_path is not None:
@@ -283,3 +302,56 @@ def _restore(model, cbeam, residual_img):
     convolved = fft_convolution(
         model.astype(jnp.result_type(model.dtype, jnp.complex64)), cbeam)
     return convolved.real.astype(model.dtype) + residual_img
+
+
+def _make_msclean_minor(psf: Array, scales: Tuple[int, ...],
+                        loop_gain: float, cycle_limit: int):
+    """Multi-scale minor cycle closure: precompute scale kernels,
+    doubly-convolved PSFs and the coupling matrix once per (psf,
+    scales); per major cycle only the dirty-image scale convolutions
+    and the on-chip peak-subtract loop run."""
+    import numpy as np
+
+    from ..clean.ms_clean import _make_scale_kernels, _ms_minor_cycle
+
+    rdtype = psf.dtype
+    cdtype = jnp.result_type(rdtype, jnp.complex64)
+    psf_dim = psf.shape[0]
+    scale_kernels = _make_scale_kernels(np.asarray(scales, np.int64),
+                                        psf_dim, rdtype)
+
+    def _conv(a, b):
+        # Even-size 'same' convolution (scipy/reference convention)
+        # shifts the result by +1 pixel per axis; unshift so the
+        # scale-convolved psfs register with the raw kernel windows the
+        # model is built from — required for the exact degrid
+        # re-prediction to cancel the subtracted components.
+        return jnp.roll(fft_convolution(a, b), (-1, -1), axis=(-2, -1))
+
+    @jax.jit
+    def _prep(psf):
+        psf_c = psf.astype(cdtype)
+        once = [_conv(psf_c, scale_kernels[s].astype(cdtype))
+                for s in range(len(scales))]
+        scaled_psfs = jnp.stack([
+            jnp.stack([_conv(once[s], scale_kernels[p].astype(cdtype)).real
+                       for p in range(len(scales))])
+            for s in range(len(scales))]).astype(rdtype)
+        coupling = jnp.max(
+            scaled_psfs.reshape(len(scales), len(scales), -1), axis=-1)
+        return scaled_psfs, coupling
+
+    scaled_psfs, coupling = _prep(psf)
+
+    @jax.jit
+    def minor(dirty, stop):
+        dirty_c = dirty.astype(cdtype)
+        scaled_residuals = jnp.stack([
+            _conv(dirty_c, scale_kernels[s].astype(cdtype)).real
+            for s in range(len(scales))]).astype(rdtype)
+        residuals, model = _ms_minor_cycle(
+            scaled_residuals, scaled_psfs, scale_kernels, coupling,
+            loop_gain, stop, cycle_limit)
+        return model, residuals[0]
+
+    return minor

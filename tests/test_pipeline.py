@@ -155,3 +155,24 @@ def test_major_cycle_with_briggs_weights(scenario):
     y1, x1 = IMAGE_SIZE // 2 + 12, IMAGE_SIZE // 2 - 9
     f1 = model[y1 - 2:y1 + 3, x1 - 2:x1 + 3].sum()
     assert abs(f1 - 1.0) < 0.05, f1
+
+
+def test_major_cycle_msclean_extended_emission(scenario):
+    """Multi-scale minor cycles in the major loop recover an extended
+    (Gaussian) source's total flux."""
+    s = scenario
+    yy, xx = np.mgrid[0:IMAGE_SIZE, 0:IMAGE_SIZE]
+    blob = np.exp(-(((yy - IMAGE_SIZE // 2 - 8) ** 2
+                     + (xx - IMAGE_SIZE // 2 + 6) ** 2) / (2 * 4.0 ** 2)))
+    blob *= 2.0 / blob.sum()
+    flux, lmn = image_to_flmn(jnp.asarray(blob), PARAMS["theta"], 0.0, 0.0)
+    vis = dft(jnp.asarray(s["uvw"]), jnp.asarray(flux, complex),
+              jnp.asarray(lmn), freq0_hz=s["freq0"], dfreq_hz=s["dfreq"],
+              num_chan=2)
+    res = major_cycle_imager(
+        s["plan"], vis, jnp.asarray(s["uvw"]),
+        n_major=5, loop_gain=0.2, threshold=1e-3, cycle_limit=300,
+        clean_algorithm="msclean", scale_list=(0, 4, 8))
+    model = np.asarray(res.model)
+    assert abs(model.sum() - 2.0) < 0.05, model.sum()
+    assert res.peak_history[-1] < 5e-3, res.peak_history
