@@ -448,7 +448,8 @@ def _degrid_all_planes(subgrid_image, w_pattern, uv_kernel, w_kernel,
         if _use_pallas(subgrids.dtype):
             from ..kernels.pallas_tap import degrid_plane_pallas
             return degrid_plane_pallas(subgrids, uv_kernel, w_kernel,
-                                       geom, support, w_support)
+                                       geom, support, w_support,
+                                       interpret=_pallas_interpret())
         if TAP_IMPL != "scatter":
             from ..kernels.dense_tap import degrid_plane_dense
             return degrid_plane_dense(subgrids, uv_kernel, w_kernel,
@@ -705,7 +706,8 @@ def _grid_all_planes(vis, w_pattern, uv_kernel, w_kernel,
         if _use_pallas(vis.dtype):
             from ..kernels.pallas_tap import grid_plane_pallas
             return grid_plane_pallas(subgrids, vis, uv_kernel, w_kernel,
-                                     geom, support, w_support)
+                                     geom, support, w_support,
+                                     interpret=_pallas_interpret())
         if TAP_IMPL != "scatter":
             from ..kernels.dense_tap import grid_plane_dense
             return grid_plane_dense(subgrids, vis, uv_kernel, w_kernel,

@@ -17,6 +17,13 @@ Here the distribution layer is TPU-native and built in:
   of the reference's ``omp critical`` sub-grid add-back).
 """
 
+from .bucketed import (
+    BucketedPlan,
+    degrid_all_bucketed,
+    grid_all_bucketed,
+    inverse_index_of,
+    plan_bucketed,
+)
 from .mesh import make_mesh, pad_rows, row_sharding
 from .swiftly_dist import SwiftlyDistributed
 from .wstack import (
@@ -28,11 +35,16 @@ from .wstack import (
 )
 
 __all__ = [
+    "BucketedPlan",
     "SwiftlyDistributed",
     "WStackPlan",
     "WStackTask",
+    "degrid_all_bucketed",
+    "grid_all_bucketed",
+    "inverse_index_of",
     "make_mesh",
     "pad_rows",
+    "plan_bucketed",
     "plan_wstack",
     "row_sharding",
     "wstack_degrid_all_sharded",

@@ -24,6 +24,8 @@ import functools
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -90,6 +92,35 @@ def _jitted_driver(plan, kernel, which: str, vis_dtype=None):
                 plan, kernel, img, u, s, e, vis_dtype))
         _JIT_CACHE[key] = fn
     return fn
+
+
+def _bucketed_grid(bucket, vis, uvw, psf: bool = False):
+    from ..parallel.bucketed import grid_all_bucketed
+
+    key = (bucket["bplan" if not psf else "psf_bplan"], "bgrid", psf)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        bplan = bucket["psf_bplan"] if psf else bucket["bplan"]
+        sort = bucket["psf_sort"] if psf else bucket["sort"]
+        valid = bucket["psf_valid"] if psf else bucket["valid"]
+        fn = jax.jit(lambda v, u: grid_all_bucketed(bplan, v, u, sort,
+                                                    valid))
+        _JIT_CACHE[key] = fn
+    return fn(vis, uvw)
+
+
+def _bucketed_degrid(bucket, image, uvw):
+    from ..parallel.bucketed import degrid_all_bucketed
+
+    key = (bucket["bplan"], "bdegrid")
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        bplan, sort = bucket["bplan"], bucket["sort"]
+        valid, inv = bucket["valid"], bucket["inv"]
+        fn = jax.jit(lambda img, u: degrid_all_bucketed(
+            bplan, img, u, sort, valid, inv))
+        _JIT_CACHE[key] = fn
+    return fn(image, uvw)
 
 
 def _whole_jit() -> bool:
@@ -199,8 +230,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        checkpoint_path: Optional[str] = None,
                        weights: Optional[Array] = None,
                        clean_algorithm: str = "hogbom",
-                       scale_list: Tuple[int, ...] = (0, 8, 16)
-                       ) -> ImagingResult:
+                       scale_list: Tuple[int, ...] = (0, 8, 16),
+                       bucketed: bool = False) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
     All heavy stages are jitted; with ``mesh`` the grid/degrid stages run
@@ -215,6 +246,11 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     With ``checkpoint_path`` the solver state is persisted after every
     major cycle and resumed from disk on restart (see
     :mod:`.checkpoint`).
+
+    ``bucketed=True`` (single-chip) bucket-sorts the visibilities by
+    (w-plane, sub-grid) task once and grids/degrids each task's own
+    slice — O(V) instead of O(tasks x V); the f32 production ingest
+    path (see :mod:`ska_sdp_func_tpu.parallel.bucketed`).
 
     ``clean_algorithm``: "hogbom" (default) or "msclean" (multi-scale
     Cornwell minor cycles over ``scale_list``; converges like Hogbom on
@@ -235,6 +271,24 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
 
     if border is None:
         border = image_size // 16
+    bucket = None
+    if bucketed:
+        if mesh is not None:
+            raise ValueError("bucketed=True is the single-chip path")
+        from ..parallel.bucketed import (
+            inverse_index_of,
+            plan_bucketed,
+        )
+        bplan, sort_index, valid = plan_bucketed(plan, np.asarray(uvw))
+        inv = inverse_index_of(sort_index, valid, int(vis.size))
+        psf_bplan, psf_sort, psf_valid = plan_bucketed(psf_plan,
+                                                       np.asarray(uvw))
+        bucket = dict(
+            bplan=bplan, sort=jnp.asarray(sort_index),
+            valid=jnp.asarray(valid), inv=jnp.asarray(inv),
+            psf_bplan=psf_bplan, psf_sort=jnp.asarray(psf_sort),
+            psf_valid=jnp.asarray(psf_valid))
+
     if weights is None:
         psf_vis = _ones_like(vis)
     else:
@@ -244,7 +298,10 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
         weights = jnp.asarray(weights)
         psf_vis = weights.astype(vis.dtype)
         vis = _mul(vis, psf_vis)
-    psf = _grid(psf_plan, psf_kernel, psf_vis, uvw, mesh)
+    if bucket is not None:
+        psf = _bucketed_grid(bucket, psf_vis, uvw, psf=True)
+    else:
+        psf = _grid(psf_plan, psf_kernel, psf_vis, uvw, mesh)
     peak = psf[image_size, image_size]  # centre of the 2N PSF
     psf = _norm_mask(psf, peak, 2 * border)
 
@@ -272,13 +329,19 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
             residual_img = residual_img.astype(rdtype)
 
     for cycle in range(start_cycle, n_major):
-        pred = _degrid(plan, kernel, model, uvw, mesh, vis.dtype)
+        if bucket is not None:
+            pred = _bucketed_degrid(bucket, model, uvw).astype(vis.dtype)
+        else:
+            pred = _degrid(plan, kernel, model, uvw, mesh, vis.dtype)
         if weights is not None:
             # dirty = A^T W (V - A model): weight the prediction too.
             pred = _mul(pred, psf_vis)
         res_vis = _sub(vis, pred)
-        dirty = _norm_mask(_grid(plan, kernel, res_vis, uvw, mesh),
-                           peak, border)
+        if bucket is not None:
+            raw = _bucketed_grid(bucket, res_vis, uvw)
+        else:
+            raw = _grid(plan, kernel, res_vis, uvw, mesh)
+        dirty = _norm_mask(raw, peak, border)
         stop = _stop_level(dirty, jnp.asarray(threshold, rdtype),
                            jnp.asarray(mgain, rdtype))
         delta, residual_img = minor(dirty, stop)

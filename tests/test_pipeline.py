@@ -176,3 +176,20 @@ def test_major_cycle_msclean_extended_emission(scenario):
     model = np.asarray(res.model)
     assert abs(model.sum() - 2.0) < 0.05, model.sum()
     assert res.peak_history[-1] < 5e-3, res.peak_history
+
+
+def test_major_cycle_bucketed_matches(scenario):
+    """The bucketed ingest path recovers the same sources (f32 path,
+    modest tolerance)."""
+    s = scenario
+    kwargs = dict(n_major=3, loop_gain=0.2, threshold=1e-3, cycle_limit=200)
+    res_b = major_cycle_imager(
+        s["plan"], jnp.asarray(s["vis"], jnp.complex64),
+        jnp.asarray(s["uvw"], jnp.float32), bucketed=True, **kwargs)
+    model = np.asarray(res_b.model)
+    y1, x1 = IMAGE_SIZE // 2 + 12, IMAGE_SIZE // 2 - 9
+    y2, x2 = IMAGE_SIZE // 2 - 20, IMAGE_SIZE // 2 + 15
+    f1 = model[y1 - 2:y1 + 3, x1 - 2:x1 + 3].sum()
+    f2 = model[y2 - 2:y2 + 3, x2 - 2:x2 + 3].sum()
+    assert abs(f1 - 1.0) < 0.02, f1
+    assert abs(f2 - 0.4) < 0.02, f2
