@@ -65,7 +65,6 @@ def plan_bucketed(plan: WStackPlan, uvw, block_v: int = 1024
     task order (padded entries point at 0 with valid False).
     """
     uvw = np.asarray(uvw, np.float64)
-    num_rows = uvw.shape[0]
     num_chan = plan.num_chan
     freqs = plan.freq0_hz + plan.dfreq_hz * np.arange(num_chan)
     scale = freqs / C_0                                   # [C]
@@ -82,7 +81,6 @@ def plan_bucketed(plan: WStackPlan, uvw, block_v: int = 1024
     # Map to the planned task list; out-of-plan boxes are dropped (the
     # plan enumerates every non-empty box, so only sub-ulp boundary
     # ties can differ — and those carry zero weight either way).
-    box_of = {(t.iu, t.iv, t.iw): k for k, t in enumerate(plan.tasks)}
     keys = np.stack([iw.ravel(), iu.ravel(), iv.ravel()], axis=1)
     task_id = np.full(keys.shape[0], -1, np.int64)
     for k, t in enumerate(plan.tasks):

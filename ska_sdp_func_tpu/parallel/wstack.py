@@ -38,9 +38,7 @@ from ..grid_data.clamp_channels import (
 from ..grid_data.gridder_utils import (
     subgrid_add,
     subgrid_cut_out,
-    uvw_bounds_all,
 )
-from ..grid_data.wstack import _plane_and_subgrid_ranges
 from ..grid_data.wtower import (
     GridderWtowerUVW,
     _degrid_all_planes,
