@@ -136,6 +136,97 @@ def _finish_facet_dyn(sw: Swiftly, prep_facet: Array, xA_size: int,
     return transformed[..., positions] * fb.astype(transformed.dtype)
 
 
+# -- traced 2-D variants (compose the 1-D ops over both trailing axes) --
+
+def _apply2(fn, x: Array, off0, off1, *args):
+    """Apply a last-axis op along both trailing axes."""
+    out = fn(x, off1, *args)
+    out = fn(out.swapaxes(-1, -2), off0, *args)
+    return out.swapaxes(-1, -2)
+
+
+def _prepare_facet_2d_dyn(sw, facet, off0, off1):
+    return _apply2(lambda x, o: _prepare_facet_dyn(sw, x, o),
+                   facet, off0, off1)
+
+
+def _extract_from_facet_2d_dyn(sw, prep, soff0, soff1):
+    return _apply2(lambda x, o: _extract_from_facet_dyn(sw, x, o),
+                   prep, soff0, soff1)
+
+
+def _add_to_subgrid_2d_dyn(sw: Swiftly, contribution: Array,
+                           subgrid_image: Array, foff0, foff1) -> Array:
+    # NB: the 2-D variant does NOT wrap offsets modulo the image size
+    # (matching the reference, sdp_swiftly.cpp:399-478).
+    i0, tgt0, src0 = _subgrid_indices_dyn(sw, foff0, use_mod=False)
+    i1, tgt1, src1 = _subgrid_indices_dyn(sw, foff1, use_mod=False)
+    fn = jnp.asarray(sw.Fn)
+    vals = (fn[i0][:, None] * fn[i1][None, :]).astype(contribution.dtype) \
+        * contribution[..., src0[:, None], src1[None, :]]
+    return subgrid_image.at[..., tgt0[:, None], tgt1[None, :]].add(
+        vals.astype(subgrid_image.dtype))
+
+
+def _finish_subgrid_2d_dyn(sw: Swiftly, subgrid: Array, soff0,
+                           soff1) -> Array:
+    xM = sw.xM_size
+    rolled = jnp.roll(subgrid, (xM // 2, xM // 2), axis=(-2, -1))
+    tmp = jnp.fft.ifft2(rolled, axes=(-2, -1))
+    return jnp.roll(tmp, (-(soff0 + xM // 2), -(soff1 + xM // 2)),
+                    axis=(-2, -1))
+
+
+def _prepare_subgrid_2d_dyn(sw: Swiftly, subgrid: Array, soff0,
+                            soff1) -> Array:
+    xM = sw.xM_size
+    u = jnp.roll(subgrid, (soff0 + xM // 2, soff1 + xM // 2),
+                 axis=(-2, -1))
+    return jnp.roll(jnp.fft.fft2(u, axes=(-2, -1)),
+                    (-(xM // 2), -(xM // 2)), axis=(-2, -1))
+
+
+def _extract_from_subgrid_2d_dyn(sw: Swiftly, subgrid_image: Array,
+                                 foff0, foff1) -> Array:
+    i0, tgt0, src0 = _subgrid_indices_dyn(sw, foff0, use_mod=False)
+    i1, tgt1, src1 = _subgrid_indices_dyn(sw, foff1, use_mod=False)
+    inv0 = jnp.argsort(src0)
+    inv1 = jnp.argsort(src1)
+    fn = jnp.asarray(sw.Fn)
+    fnw = (fn[inv0][:, None] * fn[inv1][None, :]).astype(
+        subgrid_image.dtype)
+    vals = fnw * subgrid_image[..., tgt0[inv0][:, None],
+                               tgt1[inv1][None, :]]
+    return jnp.fft.ifft2(vals, axes=(-2, -1))
+
+
+def _add_to_facet_2d_dyn(sw, contribution, prep_facet, soff0, soff1):
+    out = _add_to_facet_axis(sw, contribution, soff1)
+    out = _add_to_facet_axis(sw, out.swapaxes(-1, -2), soff0)
+    return prep_facet + out.swapaxes(-1, -2).astype(prep_facet.dtype)
+
+
+def _add_to_facet_axis(sw: Swiftly, contribution: Array, soff) -> Array:
+    """Spread a contribution's last axis into yN positions (the gather
+    dual of _add_to_facet_dyn's scatter, as a dense placement)."""
+    m = sw.xM_yN_size
+    yN = sw.yN_size
+    sg_offs = _c_div_t(soff, sw.image_size // yN)
+    aliased = (sg_offs - m // 2) % m
+    offs = sg_offs - aliased - m // 2
+    i = jnp.arange(m)
+    tgt = jnp.where(i < aliased, (i + offs + m) % yN, (i + offs) % yN)
+    out = jnp.zeros(contribution.shape[:-1] + (yN,), contribution.dtype)
+    return out.at[..., tgt].set(contribution)
+
+
+def _finish_facet_2d_dyn(sw, prep_facet, xA0: int, xA1: int, foff0,
+                         foff1):
+    out = _finish_facet_dyn(sw, prep_facet, xA1, foff1)
+    out = _finish_facet_dyn(sw, out.swapaxes(-1, -2), xA0, foff0)
+    return out.swapaxes(-1, -2)
+
+
 # ---------------------------------------------------------------------------
 # Mesh drivers: one all_to_all per direction
 # ---------------------------------------------------------------------------
@@ -216,3 +307,77 @@ class SwiftlyDistributed:
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=P(axis), check_vma=False))(
                 subgrids, s_offs, f_offs)
+
+    # -- 2-D chains (facet/subgrid offsets are (l, m) pairs) ------------
+
+    def facets_to_subgrids_2d(self, facets: Array, facet_offsets,
+                              subgrid_offsets, xA_size: int) -> Array:
+        """[D, yB, yB] facets (sharded) -> [D, xA, xA] subgrids."""
+        sw, axis = self.sw, self.axis_name
+        f_offs = jnp.asarray(facet_offsets, jnp.int32)   # [D, 2]
+        s_offs = jnp.asarray(subgrid_offsets, jnp.int32)
+
+        def body(facet, my_f_off, my_s_off):
+            prep = _prepare_facet_2d_dyn(sw, facet[0], my_f_off[0, 0],
+                                         my_f_off[0, 1])
+            contribs = jax.vmap(
+                lambda so: _extract_from_facet_2d_dyn(
+                    sw, prep, so[0], so[1]))(s_offs)     # [D, m, m]
+            received = jax.lax.all_to_all(contribs, axis, 0, 0, tiled=True)
+
+            acc0 = jnp.zeros((sw.xM_size, sw.xM_size), prep.dtype)
+
+            def step(acc, inp):
+                contrib, f_off = inp
+                return _add_to_subgrid_2d_dyn(sw, contrib, acc, f_off[0],
+                                              f_off[1]), None
+
+            acc, _ = jax.lax.scan(step, acc0, (received, f_offs))
+            # finish_subgrid convention per axis (swiftly.py
+            # finish_subgrid): iFFT of the half-rolled grid, then the
+            # offset xA window.
+            xM = sw.xM_size
+            buf = jnp.fft.ifft2(
+                jnp.roll(acc, (xM // 2, xM // 2), axis=(-2, -1)),
+                axes=(-2, -1))
+            i = jnp.arange(xA_size)
+            j0 = (i - xA_size // 2 + my_s_off[0, 0] + xM) % xM
+            j1 = (i - xA_size // 2 + my_s_off[0, 1] + xM) % xM
+            return buf[j0[:, None], j1[None, :]][None]
+
+        return jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False))(facets, f_offs, s_offs)
+
+    def subgrids_to_facets_2d(self, subgrids: Array, subgrid_offsets,
+                              facet_offsets, yB_size: int) -> Array:
+        """[D, xM, xM] subgrids (sharded) -> [D, yB, yB] facets."""
+        sw, axis = self.sw, self.axis_name
+        f_offs = jnp.asarray(facet_offsets, jnp.int32)
+        s_offs = jnp.asarray(subgrid_offsets, jnp.int32)
+
+        def body(subgrid, my_s_off, my_f_off):
+            prep = _prepare_subgrid_2d_dyn(sw, subgrid[0], my_s_off[0, 0],
+                                           my_s_off[0, 1])
+            contribs = jax.vmap(
+                lambda fo: _extract_from_subgrid_2d_dyn(
+                    sw, prep, fo[0], fo[1]))(f_offs)
+            received = jax.lax.all_to_all(contribs, axis, 0, 0, tiled=True)
+
+            acc0 = jnp.zeros((sw.yN_size, sw.yN_size), prep.dtype)
+
+            def step(acc, inp):
+                contrib, s_off = inp
+                return _add_to_facet_2d_dyn(sw, contrib, acc, s_off[0],
+                                            s_off[1]), None
+
+            acc, _ = jax.lax.scan(step, acc0, (received, s_offs))
+            return _finish_facet_2d_dyn(sw, acc, yB_size, yB_size,
+                                        my_f_off[0, 0],
+                                        my_f_off[0, 1])[None]
+
+        return jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False))(subgrids, s_offs, f_offs)

@@ -104,3 +104,79 @@ def test_subgrids_to_facets_round_trip(setup):
             acc = sw.add_to_facet(contrib, acc, sg_off)
         want = np.asarray(sw.finish_facet(acc, YB, f_off))
         np.testing.assert_allclose(got[d], want, atol=1e-12)
+
+
+def test_facets_to_subgrids_2d_matches_local(setup):
+    """2-D distributed chain vs the local static-offset 2-D ops."""
+    sw = setup["sw"]
+    dist = setup["dist"]
+    rng = np.random.default_rng(3)
+    # 8 devices: facets on a (2, 4) grid of (l, m) offsets.
+    offs2 = [((r - 1) * 256 + 128, (c - 2) * 256 + 128)
+             for r in range(2) for c in range(4)]
+    sources = [(float(rng.standard_normal()), int(x), int(y))
+               for x, y in zip(rng.integers(-300, 300, 8),
+                               rng.integers(-300, 300, 8))]
+    facets = np.zeros((D, YB, YB), complex)
+    for d, (o0, o1) in enumerate(offs2):
+        for a, x, y in sources:
+            p0 = (x - o0 + YB // 2) % PARAMS["N"]
+            p1 = (y - o1 + YB // 2) % PARAMS["N"]
+            if 0 <= p0 < YB and 0 <= p1 < YB:
+                facets[d, p0, p1] += a
+    got = np.asarray(dist.facets_to_subgrids_2d(
+        jnp.asarray(facets), offs2, offs2, XA))
+    # Local reference: all (facet, subgrid) pairs through the static ops.
+    for m_i, (s0, s1) in enumerate(offs2):
+        acc = jnp.zeros((sw.xM_size, sw.xM_size), jnp.complex128)
+        for d, (f0, f1) in enumerate(offs2):
+            prep = sw.prepare_facet(jnp.asarray(facets[d]), f1)
+            prep = sw.prepare_facet(prep.swapaxes(-1, -2), f0)
+            prep = prep.swapaxes(-1, -2)
+            contrib = sw.extract_from_facet(prep, s1)
+            contrib = sw.extract_from_facet(contrib.swapaxes(-1, -2), s0)
+            contrib = contrib.swapaxes(-1, -2)
+            acc = sw.add_to_subgrid_2d(contrib, acc, f0, f1)
+        fin = sw.finish_subgrid_inplace_2d(acc, s0, s1)
+        # window the xA region with the finish_subgrid convention
+        xM = sw.xM_size
+        i = np.arange(XA)
+        j0 = (i - XA // 2 + s0 + xM) % xM
+        j1 = (i - XA // 2 + s1 + xM) % xM
+        # finish_subgrid_inplace_2d rolled by -(off + xM/2); recompute
+        # via the unrolled buffer for exactness:
+        buf = jnp.fft.ifft2(jnp.roll(acc, (xM // 2, xM // 2),
+                                     axis=(-2, -1)), axes=(-2, -1))
+        want = np.asarray(buf)[j0[:, None], j1[None, :]]
+        np.testing.assert_allclose(got[m_i], want, atol=1e-12)
+
+
+def test_subgrids_to_facets_2d_point_sources(setup):
+    """2-D reverse chain: analytic point-source subgrids -> facets
+    reproduce the source intensities at their pixels."""
+    sw = setup["sw"]
+    dist = setup["dist"]
+    offs2 = [((r - 1) * 256 + 128, (c - 2) * 256 + 128)
+             for r in range(2) for c in range(4)]
+    sources = [(1.0, 40, -30), (0.5, -200, 150)]
+    N = PARAMS["N"]
+    xM = sw.xM_size
+
+    def subgrid2d(off0, off1):
+        u0 = np.arange(off0 - xM // 2, off0 + xM // 2)
+        u1 = np.arange(off1 - xM // 2, off1 + xM // 2)
+        sg = np.zeros((xM, xM), complex)
+        for a, x, y in sources:
+            sg += (a / N / N) * np.exp(
+                2j * np.pi * (u0[:, None] * x + u1[None, :] * y) / N)
+        return sg
+
+    subgrids = np.stack([subgrid2d(o0, o1) for o0, o1 in offs2])
+    got = np.asarray(dist.subgrids_to_facets_2d(
+        jnp.asarray(subgrids), offs2, offs2, YB))
+    for d, (o0, o1) in enumerate(offs2):
+        for a, x, y in sources:
+            p0 = (x - o0 + YB // 2) % N
+            p1 = (y - o1 + YB // 2) % N
+            if 0 <= p0 < YB and 0 <= p1 < YB:
+                np.testing.assert_allclose(got[d, p0, p1], a, atol=2e-6)
