@@ -301,3 +301,97 @@ def inverse_index_of(sort_index: np.ndarray, valid: np.ndarray,
     pos = np.arange(sort_index.shape[0])
     inv[sort_index[valid]] = pos[valid]
     return inv
+
+
+def task_id_stream(bplan: BucketedPlan) -> np.ndarray:
+    """Host [total] array: which task owns each sorted/padded position."""
+    ids = np.full(bplan.total, -1, np.int64)
+    for k, t in enumerate(bplan.tasks):
+        ids[t.start:t.start + t.size] = k
+    return ids
+
+
+def grid_all_bucketed_sharded(bplan: BucketedPlan, vis: Array, uvw: Array,
+                              sort_index: Array, valid: Array, mesh,
+                              axis_name: str = "rows",
+                              image_dtype=jnp.float32) -> Array:
+    """Multi-chip bucketed gridding: the sorted stream is chunked across
+    the mesh; every chip runs the same task loop over its chunk with
+    task-ownership masks (the per-(block, layer) skip flags eliminate
+    the compute for non-owned blocks), and partial images reduce with
+    `psum` over ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..kernels.pallas_tap import grid_all_layers_pallas
+
+    plan = bplan.plan
+    kernel = plan.kernel()
+    ka = _KernelArrays(kernel)
+    interpret = jax.default_backend() != "tpu"
+    sgs = plan.subgrid_size
+    image_size = plan.image_size
+    num_chan = plan.num_chan
+    sg_factor = (image_size / sgs) ** 2
+    freq0, dfreq = plan.freq0_hz, (plan.dfreq_hz or 10.0)
+    num_dev = int(mesh.devices.size)
+
+    # Gather the sorted stream, pad it to a device multiple.
+    row_idx = sort_index // num_chan
+    chan_idx = (sort_index % num_chan).astype(jnp.int32)
+    uvw_s = uvw[row_idx]
+    vis_s = vis.reshape(-1)[sort_index]
+    tids = jnp.asarray(task_id_stream(bplan))
+    pad = (-bplan.total) % (num_dev * 1024)
+    if pad:
+        uvw_s = jnp.pad(uvw_s, ((0, pad), (0, 0)))
+        vis_s = jnp.pad(vis_s, (0, pad))
+        chan_idx = jnp.pad(chan_idx, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        tids = jnp.pad(tids, (0, pad), constant_values=-1)
+    vis_re = jnp.where(valid, vis_s.real, 0.0).astype(jnp.float32)
+    vis_im = jnp.where(valid, vis_s.imag, 0.0).astype(jnp.float32)
+
+    w_pattern = ka.w_pattern_np
+
+    def body(uvw_c, chan_c, valid_c, tid_c, vre_c, vim_c):
+        image = jnp.zeros((image_size, image_size), jnp.complex64)
+        per_plane = {}
+        for k, task in enumerate(bplan.tasks):
+            own = valid_c & (tid_c == k)
+            iu0, iv0, uk, vk, weights = _slice_taps(
+                bplan, task, ka, uvw_c, chan_c, own, freq0, dfreq)
+            iu0, iv0, uk, vk, weights = jax.lax.optimization_barrier(
+                (iu0, iv0, uk, vk, weights))
+            acc = grid_all_layers_pallas(
+                jnp.where(own, vre_c, 0.0), jnp.where(own, vim_c, 0.0),
+                iu0, iv0, uk, vk, weights, task.num_layers, sgs,
+                plan.support, interpret=interpret)
+            layers = ifft_shifted(acc)
+            exps = (task.first_w_plane + plan.w_support // 2
+                    - plan.w_support
+                    + np.arange(task.num_layers)).astype(np.float32)
+            ladder = jnp.asarray(
+                w_pattern[None] ** exps[:, None, None], jnp.complex64)
+            subgrid = fft_shifted(jnp.sum(layers * ladder, axis=0))
+            g = per_plane.get(task.iw)
+            if g is None:
+                g = jnp.zeros((image_size, image_size), jnp.complex64)
+            per_plane[task.iw] = subgrid_add(
+                g, -task.iu * plan.eff_sg_size,
+                -task.iv * plan.eff_sg_size, subgrid, sg_factor)
+        for iw, g in per_plane.items():
+            g = ifft_shifted_norm(g)
+            g = kernel.grid_correct(g, 0, 0,
+                                    int(iw * plan.w_tower_height))
+            image = image + g.astype(image.dtype)
+        return jax.lax.psum(image, axis_name)
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(axis_name)),
+        out_specs=P(), check_vma=False))(
+            uvw_s, chan_idx, valid, tids, vis_re, vis_im)
+    if not jnp.issubdtype(jnp.dtype(image_dtype), jnp.complexfloating):
+        return out.real.astype(image_dtype)
+    return out.astype(image_dtype)

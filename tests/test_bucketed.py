@@ -99,3 +99,27 @@ def test_bucketed_degrid_matches_task_driver(scenario):
     scale = float(np.abs(np.asarray(vis_r)).max())
     np.testing.assert_allclose(np.asarray(vis_b), np.asarray(vis_r),
                                atol=1e-4 * scale)
+
+
+def test_bucketed_sharded_matches_single(scenario):
+    """The mesh-sharded bucketed grid equals the single-chip bucketed
+    grid (the GPU-vs-CPU consistency pattern)."""
+    from ska_sdp_func_tpu.parallel import make_mesh
+    from ska_sdp_func_tpu.parallel.bucketed import grid_all_bucketed_sharded
+
+    s = scenario
+    uvw = jnp.asarray(s["uvw"])
+    img_1 = grid_all_bucketed(
+        s["bplan"], jnp.asarray(s["vis"]), uvw,
+        jnp.asarray(s["sort_index"]), jnp.asarray(s["valid"]))
+    img_8 = grid_all_bucketed_sharded(
+        s["bplan"], jnp.asarray(s["vis"]), uvw,
+        jnp.asarray(s["sort_index"]), jnp.asarray(s["valid"]),
+        make_mesh(8))
+    # Partial-accumulator FFT drains reassociate f32 sums; the 1/PSWF
+    # correction amplifies that towards the border.
+    b = 24
+    scale = float(np.abs(np.asarray(img_1)[b:-b, b:-b]).max())
+    np.testing.assert_allclose(
+        np.asarray(img_8)[b:-b, b:-b], np.asarray(img_1)[b:-b, b:-b],
+        atol=1e-4 * scale)
