@@ -122,3 +122,31 @@ def test_dense_adjointness(setup):
     lhs = np.vdot(np.asarray(ax), np.asarray(s["vis"]))
     rhs = np.vdot(np.asarray(s["subgrids"]), np.asarray(aty))
     assert abs(lhs - rhs) / abs(lhs) < 1e-13
+
+
+def test_sparse_grid_interpret_matches_dense():
+    """Sparse per-vis kernel (prototype) against the dense banded path."""
+    from ska_sdp_func_tpu.kernels.pallas_tap import grid_all_layers_pallas
+    from ska_sdp_func_tpu.kernels.sparse_tap import grid_all_layers_sparse
+
+    rng = np.random.default_rng(0)
+    V, N, S, SW, K = 300, 32, 8, 4, 7
+    iu0 = jnp.asarray(rng.integers(0, N - S, V).astype(np.int32))
+    iv0 = jnp.asarray(rng.integers(0, N - S, V).astype(np.int32))
+    j = rng.integers(0, K - SW + 1, V).astype(np.int32)
+    uk = jnp.asarray(rng.random((V, S), np.float32))
+    vk = jnp.asarray(rng.random((V, S), np.float32))
+    wk = jnp.asarray(rng.random((V, SW), np.float32))
+    vre = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    vim = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    weights = np.zeros((V, K), np.float32)
+    for layer in range(SW):
+        weights[np.arange(V), j + layer] = np.asarray(wk)[:, layer]
+    ref = grid_all_layers_pallas(vre, vim, iu0, iv0, uk, vk,
+                                 jnp.asarray(weights), K, N, S,
+                                 block_v=128, interpret=True)
+    got = grid_all_layers_sparse(vre, vim, iu0, iv0, jnp.asarray(j), uk,
+                                 vk, wk, K, N, S, SW, block_v=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
