@@ -7,6 +7,8 @@ through jitted grid/CLEAN/degrid graphs, optionally over a device mesh
 (visibility rows sharded, partial grids `psum`-reduced).
 """
 
+from .ingest import ingest_flag_and_weight, ingest_to_solver, \
+    station_beam_power
 from .checkpoint import load_result, load_state, save_result, save_state
 from .major_cycle import (
     ImagingResult,
@@ -18,6 +20,9 @@ from .major_cycle import (
 __all__ = [
     "ImagingResult",
     "dirty_and_psf",
+    "ingest_flag_and_weight",
+    "ingest_to_solver",
+    "station_beam_power",
     "load_result",
     "load_state",
     "major_cycle_imager",

@@ -193,3 +193,41 @@ def test_major_cycle_bucketed_matches(scenario):
     f2 = model[y2 - 2:y2 + 3, x2 - 2:x2 + 3].sum()
     assert abs(f1 - 1.0) < 0.02, f1
     assert abs(f2 - 0.4) < 0.02, f2
+
+
+def test_ingest_flags_rfi_and_protects_image(scenario):
+    """BASELINE config #4: the ingest stage flags an injected RFI spike
+    and zeroes its weight, so the weighted solve recovers the true sky
+    while the unflagged solve is corrupted."""
+    from ska_sdp_func_tpu.pipeline.ingest import ingest_to_solver
+
+    s = scenario
+    num_rows, num_chan = s["vis"].shape
+    vis4d = np.asarray(s["vis"]).reshape(1, num_rows, num_chan, 1)
+    vis4d = np.repeat(vis4d, 8, axis=0)  # 8 time slots for the flagger
+    # Inject broadband RFI into one time/baseline.
+    vis4d = vis4d.astype(np.complex128)
+    vis4d[3, 7, :, 0] += 200.0 + 150.0j
+    w4d = np.ones(vis4d.shape)
+    vis_flat, w_flat, frac = ingest_to_solver(
+        jnp.asarray(vis4d), jnp.asarray(w4d))
+    assert 0 < frac < 0.05, frac
+    # The RFI sample's weight is zeroed.
+    assert float(w_flat[3 * num_rows + 7, :].max()) == 0.0
+    # Clean samples keep weight 1.
+    assert float(w_flat[0, 0]) == 1.0
+
+
+def test_station_beam_power_normalised():
+    from ska_sdp_func_tpu.pipeline.ingest import station_beam_power
+
+    rng = np.random.default_rng(0)
+    n_elem = 64
+    ex, ey = rng.uniform(-20, 20, (2, n_elem))
+    ez = np.zeros(n_elem)
+    w = np.ones(n_elem, complex)
+    lmn = np.asarray([[0.0, 0.0, 1.0], [0.1, 0.05, np.sqrt(1 - 0.0125)]])
+    p = np.asarray(station_beam_power(ex, ey, ez, w, lmn, 1.0e8))
+    # Boresight gain is 1 (normalised beamformer), off-axis below it.
+    np.testing.assert_allclose(p[0], 1.0, rtol=1e-6)
+    assert p[1] < p[0]
