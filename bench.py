@@ -84,7 +84,7 @@ def main():
 
     # Median of per-iteration times: the tunnelled chip is shared, so
     # wall-clock contention spikes are common.
-    iters = 9
+    iters = 15
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
