@@ -56,6 +56,44 @@ def make_pswf_kernel(support: int, vr_size: int,
     return make_kernel(window, oversampling)
 
 
+def kernel_tap_coeffs(support: int, vr_size: int, oversampling: int,
+                      degree: int = 11) -> np.ndarray:
+    """Chebyshev coefficients of each kernel tap as a function of the
+    fractional offset row r/oversampling in [0, 1].
+
+    The oversampled PSWF kernel's taps are smooth in the fractional
+    offset — degree 11 fits the 16385-row table to ~1e-13 — so the hot
+    paths evaluate taps with a vectorised Clenshaw recurrence instead of
+    gathering table rows (random gathers dominate the tap setup on TPU;
+    the reference flags the same fetch latency as its CPU bottleneck,
+    sdp_gridder_wtower_uvw.cpp:446-450).
+
+    Returns float64 ``[degree+1, support]``.
+    """
+    table = make_pswf_kernel(support, vr_size, oversampling)
+    x = 2.0 * (np.arange(oversampling + 1) / oversampling) - 1.0
+    return np.polynomial.chebyshev.chebfit(x, table, degree)
+
+
+def eval_kernel_taps(row, coeffs, oversampling: int):
+    """Clenshaw evaluation of the tap polynomials (jittable).
+
+    row: integer array [V] (the oversampled kernel row, 0..oversampling);
+    coeffs: [degree+1, support] (numpy — embeds as a constant).
+    Returns [V, support] taps in row's float dtype.
+    """
+    import jax.numpy as jnp
+
+    x = (2.0 / oversampling) * row.astype(jnp.float32) - 1.0
+    x = x[:, None]
+    c = np.asarray(coeffs, np.float32)
+    b1 = jnp.zeros((x.shape[0], c.shape[1]), x.dtype)
+    b2 = jnp.zeros_like(b1)
+    for k in range(c.shape[0] - 1, 0, -1):
+        b1, b2 = c[k] + 2.0 * x * b1 - b2, b1
+    return c[0] + x * b1 - b2
+
+
 def lm_to_n(l, m, shear_u: float, shear_v: float):
     """Convert (l, m) to n direction cosines, allowing for shear.
 

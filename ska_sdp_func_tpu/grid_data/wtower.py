@@ -27,7 +27,7 @@ TPU-native design notes:
 """
 
 import os
-from functools import partial
+from functools import lru_cache as functools_lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -577,9 +577,16 @@ def _fused_tap_data(uvws, start_chs, end_chs, off_u, off_v, off_w,
 
     mask_f = mask_any.reshape(-1)
     j_f = j_idx.reshape(-1)
-    uk = uv_kernel[u_row.reshape(-1)]
-    vk = uv_kernel[v_row.reshape(-1)]
-    wk = w_kernel[w_row_sel.reshape(-1)]              # [V, Sw]
+    # Polynomial tap evaluation (Clenshaw) instead of table-row gathers:
+    # random gathers from the [oversampling+1, support] tables dominate
+    # the tap setup on TPU (see kernels.kernel_tap_coeffs).
+    from .kernels import eval_kernel_taps, kernel_tap_coeffs
+    uv_c = _tap_coeffs_cached(support, oversampling)
+    w_c = _tap_coeffs_cached(w_support, w_oversampling)
+    uk = eval_kernel_taps(u_row.reshape(-1), uv_c, oversampling)
+    vk = eval_kernel_taps(v_row.reshape(-1), uv_c, oversampling)
+    wk = eval_kernel_taps(w_row_sel.reshape(-1), w_c,
+                          w_oversampling)              # [V, Sw]
     # weights[v, k] = wk[v, k - j_v] inside the slab window, else 0.
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (mask_f.shape[0], num_k), 1)
     weights = jnp.zeros((mask_f.shape[0], num_k), wk.dtype)
@@ -593,6 +600,12 @@ def _fused_tap_data(uvws, start_chs, end_chs, off_u, off_v, off_w,
     return jax.lax.optimization_barrier(
         (mask_f, iu0.reshape(-1), iv0.reshape(-1), uk, vk, weights)
     ) + (num_k,)
+
+
+@functools_lru_cache(maxsize=16)
+def _tap_coeffs_cached(support: int, oversampling: int):
+    from .kernels import kernel_tap_coeffs
+    return kernel_tap_coeffs(support, support, oversampling)
 
 
 def _pallas_interpret() -> bool:

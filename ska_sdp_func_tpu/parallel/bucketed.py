@@ -140,8 +140,12 @@ def _slice_taps(bplan: BucketedPlan, task: BucketedTask, kernel,
     iv0_ov = _round_half_away(v * (theta * ov)).astype(jnp.int32) + half_ov
     iu0 = jnp.clip(iu0_ov // ov, 0, sgs - support)
     iv0 = jnp.clip(iv0_ov // ov, 0, sgs - support)
-    uk = kernel.uv_kernel_dev[jnp.mod(iu0_ov, ov)]
-    vk = kernel.uv_kernel_dev[jnp.mod(iv0_ov, ov)]
+    # Polynomial taps instead of table gathers (kernels.kernel_tap_coeffs).
+    from ..grid_data.kernels import eval_kernel_taps
+    from ..grid_data.wtower import _tap_coeffs_cached
+    uv_c = _tap_coeffs_cached(support, ov)
+    uk = eval_kernel_taps(jnp.mod(iu0_ov, ov), uv_c, ov)
+    vk = eval_kernel_taps(jnp.mod(iv0_ov, ov), uv_c, ov)
 
     # Plane index within the tower and the w kernel row (same interval
     # convention as the clamp: plane p covers [(p-1) w_step, p w_step)).
@@ -150,7 +154,8 @@ def _slice_taps(bplan: BucketedPlan, task: BucketedTask, kernel,
     w_rel = w - (task.first_w_plane + j - 1).astype(fdt) * w_step
     w_row = jnp.mod(
         _round_half_away(w_rel * (w_ov / w_step)).astype(jnp.int32), w_ov)
-    wk = kernel.w_kernel_dev[w_row]
+    w_c = _tap_coeffs_cached(w_support, w_ov)
+    wk = eval_kernel_taps(w_row, w_c, w_ov)
 
     num_k = task.num_layers
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], num_k), 1)
