@@ -21,6 +21,7 @@ from .bucketed import (
     BucketedPlan,
     degrid_all_bucketed,
     grid_all_bucketed,
+    grid_all_bucketed_sharded,
     inverse_index_of,
     plan_bucketed,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "WStackTask",
     "degrid_all_bucketed",
     "grid_all_bucketed",
+    "grid_all_bucketed_sharded",
     "inverse_index_of",
     "make_mesh",
     "pad_rows",
