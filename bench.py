@@ -1,16 +1,28 @@
-"""Headline benchmark: w-towers gridding throughput on one TPU chip.
+"""Headline benchmark: whole-image w-towers imaging on one TPU chip.
 
-Measures visibilities gridded per second through the flagship w-towers
-sub-grid gridder (`_grid_all_planes`: per-vis separable
-support x support x w_support scatter + rolling w-tower FFT pipeline),
-float32 data on the real chip.
+Measures the BASELINE.md metrics through the round-2 packed ingest path
+(parallel/packed.py — bucket-sorted band-streaming Pallas kernels):
 
-Prints ONE JSON line:
-  {"metric": "gridding_throughput", "value": <Mvis/s>, "unit": "Mvis/s",
-   "vs_baseline": <value / 1000>}
-vs_baseline is relative to BASELINE.json's north-star target of
-1 Gvis/s/chip (the reference publishes no absolute numbers; see
-BASELINE.md).
+- ``gridding_throughput``: WHOLE-IMAGE gridding Mvis/s — 512^2 image,
+  ~1M visibilities spread over the full (u, v, w) box grid (multiple
+  sub-grid tasks and w-stacking planes), f32. This is the honest
+  end-to-end number (kernel + window folds + FFT drains + ladder +
+  sub-grid adds + grid corrections), not a single pre-confined
+  sub-grid task.
+- ``degrid_mvis_s``: the mirror whole-image degridding rate.
+- ``major_cycle_iters_s``: full solver iterations/s on the same data —
+  degrid prediction -> residual -> grid -> on-chip Hogbom minor cycle
+  -> model update.
+
+Timing methodology (PERFORMANCE.md): the tunnelled runtime memoises
+identical executions AND ``block_until_ready`` returns before pipelined
+chains complete, so every loop feeds the previous output into the next
+input and the clock stops only after a device->host readback of a
+reduction over the final result.
+
+Prints ONE JSON line; ``value`` is the gridding throughput and
+``vs_baseline`` is relative to BASELINE.json's 1 Gvis/s/chip north
+star.
 """
 
 import json
@@ -23,85 +35,118 @@ import jax.numpy as jnp
 
 C_0 = 299792458.0
 
+IMAGE, SUBGRID = 512, 128
+THETA, W_STEP, HEIGHT = 0.002, 100.0, 4.0
+ROWS, CHANS = 16384, 64
+
 
 def main():
-    from ska_sdp_func_tpu.grid_data.wtower import GridderWtowerUVW
+    from ska_sdp_func_tpu.clean.hogbom import _minor_cycle
+    from ska_sdp_func_tpu.parallel import plan_wstack
+    from ska_sdp_func_tpu.parallel.packed import (
+        packed_gridder,
+        plan_packed,
+    )
+    from ska_sdp_func_tpu.pipeline.major_cycle import (
+        _norm_mask,
+        make_psf_plan,
+    )
     from ska_sdp_func_tpu.utility.device import device_put
 
-    subgrid_size = 128
-    theta = 0.002
-    w_step = 100.0
-    support, oversampling = 8, 16 * 1024
-    w_support, w_oversampling = 4, 16 * 1024
-    num_rows, num_chan = 16384, 64
-    freq0, dfreq = C_0, C_0 / (100 * num_chan)
-
     rng = np.random.default_rng(1)
-    # uvw confined to one sub-grid box and one w-tower (the per-task hot
-    # path of the w-stacking driver).
-    uvw = rng.uniform(-1, 1, (num_rows, 3)).astype(np.float32)
-    uvw[:, :2] *= 0.4 * subgrid_size / 2 / theta
-    uvw[:, 2] *= 1.5 * w_step
-    vis = (rng.standard_normal((num_rows, num_chan))
-           + 1j * rng.standard_normal((num_rows, num_chan))
-           ).astype(np.complex64)
-    # Production ingest bucket-sorts rows by w (native host runtime) so
-    # the kernels' per-(block, layer) skip flags bite.
-    from ska_sdp_func_tpu import native
-    perm = native.sort_rows_by_w(uvw)
-    uvw, vis = uvw[perm], vis[perm]
+    uvw = rng.uniform(-1, 1, (ROWS, 3))
+    uvw[:, :2] *= 0.45 * IMAGE / 2 / THETA     # 3x3 sub-grid boxes
+    uvw[:, 2] *= 1.5 * W_STEP * HEIGHT          # several w planes
+    freq0, dfreq = C_0, C_0 / (100 * CHANS)
+    vis = (rng.standard_normal((ROWS, CHANS))
+           + 1j * rng.standard_normal((ROWS, CHANS))).astype(np.complex64)
+    num_vis = ROWS * CHANS
 
-    plan = GridderWtowerUVW(subgrid_size, subgrid_size, theta, w_step,
-                            0.0, 0.0, support, oversampling, w_support,
-                            w_oversampling)
+    plan = plan_wstack(uvw, freq0, dfreq, CHANS, IMAGE, SUBGRID, THETA,
+                       W_STEP, support=8, w_support=4,
+                       w_tower_height=HEIGHT)
+    pplan = plan_packed(plan, uvw, block_v=128)
+    g = packed_gridder(pplan)
 
-    vis_d = device_put(vis)
-    uvw_d = device_put(uvw)
-    start_chs = jnp.zeros((num_rows,), jnp.int32)
-    end_chs = jnp.full((num_rows,), num_chan, jnp.int32)
-    # device_put: eager complex ops are unsupported on tunnelled TPU
-    # attachments (see utility/device.py).
-    subgrid = device_put(np.zeros((subgrid_size, subgrid_size),
-                                  np.complex64))
+    vre0, vim0 = g.sort(device_put(vis))
+    red = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+    redc = jax.jit(lambda x: jnp.sum(jnp.abs(x.real) + jnp.abs(x.imag)))
+    fb = jax.jit(lambda v, s: v * (jnp.float32(1.0)
+                                   + jnp.float32(1e-6) * jnp.tanh(s)))
 
-    # Plan the w-tower range once (the production drivers precompute it
-    # host-side; see parallel.plan_wstack).
-    wpr = plan._w_plane_range(uvw_d, start_chs, end_chs, freq0, dfreq, 0)
-
-    def run(v):
-        return plan.grid_subgrid(v, uvw_d, start_chs, end_chs,
-                                 num_chan, freq0, dfreq, subgrid, (0, 0, 0),
-                                 w_plane_range=wpr)
-
-    # Vary the input each iteration: the tunnelled runtime memoises
-    # repeated executions with identical arguments (see PERFORMANCE.md).
-    scale = jax.jit(lambda v: v * jnp.asarray(1.0 + 1e-6, jnp.float32))
-
-    # Warmup (compile)
-    out = run(vis_d)
-    out.block_until_ready()
-    vis_d = scale(vis_d)
-
-    # Median of per-iteration times: the tunnelled chip is shared, so
-    # wall-clock contention spikes are common.
-    iters = 15
-    times = []
-    for _ in range(iters):
+    # ---- whole-image grid ------------------------------------------
+    # The tunnel pipeline needs ~20 chained executions to reach steady
+    # state; run one throwaway loop, then measure.
+    img = g.grid_sorted(vre0, vim0)
+    _ = float(red(img))                        # compile + settle
+    iters = 20
+    vre = vre0
+    for _loop in range(2):
         t0 = time.perf_counter()
-        out = run(vis_d)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-        vis_d = scale(vis_d)
-    times.sort()
-    dt = times[len(times) // 2]
+        for _i in range(iters):
+            img = g.grid_sorted(vre, vim0)
+            vre = fb(vre, red(img))
+        _ = float(red(img))
+        grid_dt = (time.perf_counter() - t0) / iters
+    grid_mvis = num_vis / grid_dt / 1e6
 
-    num_vis = num_rows * num_chan
-    mvis_s = num_vis / dt / 1e6
+    # ---- whole-image degrid ----------------------------------------
+    model = jnp.zeros((IMAGE, IMAGE), jnp.float32).at[300, 200].set(1.0)
+    vs = g.degrid_sorted(model)
+    _ = float(redc(vs))
+    s = None
+    for _loop in range(2):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            vs = g.degrid_sorted(model)
+            s = redc(vs)
+            model = fb(model, s)
+        _ = float(s)
+        degrid_dt = (time.perf_counter() - t0) / iters
+    degrid_mvis = num_vis / degrid_dt / 1e6
+
+    # ---- major-cycle iteration rate --------------------------------
+    psf_plan = make_psf_plan(plan, uvw)
+    psf_pplan = plan_packed(psf_plan, uvw, block_v=128)
+    pg = packed_gridder(psf_pplan)
+    psf = pg.grid(device_put(np.ones((ROWS, CHANS), np.complex64)))
+    peak = psf[IMAGE, IMAGE]
+    border = IMAGE // 16
+    psf = _norm_mask(psf, peak, 2 * border)
+    res_fn = jax.jit(lambda vre, vim, pred: (vre - pred.real,
+                                             vim - pred.imag))
+    upd = jax.jit(lambda m, d: m + d)
+    stop = jnp.asarray(0.0, jnp.float32)
+
+    def step(model):
+        pred = g.degrid_sorted(model)
+        rre, rim = res_fn(vre0, vim0, pred)
+        raw = g.grid_sorted(rre, rim)
+        dirty = _norm_mask(raw, peak, border)
+        delta, _resid = _minor_cycle(dirty, psf, 0.1, stop, 50)
+        return upd(model, delta)
+
+    model = jnp.zeros((IMAGE, IMAGE), jnp.float32)
+    model = step(model)                        # compile
+    _ = float(red(model))
+    iters_mc = 10
+    for _loop in range(2):
+        t0 = time.perf_counter()
+        for _i in range(iters_mc):
+            model = step(model)                # naturally chained
+        _ = float(red(model))
+        mc_dt = (time.perf_counter() - t0) / iters_mc
+
     print(json.dumps({
         "metric": "gridding_throughput",
-        "value": round(mvis_s, 3),
+        "value": round(grid_mvis, 3),
         "unit": "Mvis/s",
-        "vs_baseline": round(mvis_s / 1000.0, 4),
+        "vs_baseline": round(grid_mvis / 1000.0, 4),
+        "scenario": "whole-image 512^2, %d tasks, %d w-planes, %.2gM vis"
+                    % (len(pplan.tasks), len(pplan.w_plane_ids),
+                       num_vis / 1e6),
+        "degrid_mvis_s": round(degrid_mvis, 3),
+        "major_cycle_iters_s": round(1.0 / mc_dt, 3),
     }))
 
 

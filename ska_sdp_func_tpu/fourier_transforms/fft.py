@@ -93,6 +93,12 @@ class Fft:
 
     def exec(self, data: Array) -> Array:
         _check_complex(data)
+        if tuple(data.shape) != self.shape:
+            # The reference rejects plan/data mismatches
+            # (sdp_fft.cpp exec checks; tests/.../test_fft.cpp:202).
+            raise SdpInvalidArgumentError(
+                f"data shape {tuple(data.shape)} does not match the "
+                f"plan template {self.shape}")
         return _fft_nd(data, self.num_dims_fft, self.forward)
 
     def exec_shift(self, data: Array, norm: bool = False) -> Array:

@@ -140,6 +140,62 @@ def _subgrid_cut_out(grid, offset_u, offset_v, su: int, sv: int):
     return grid[iu[:, None], iv[None, :]]
 
 
+def _wrap_runs(start: int, size: int, n: int):
+    """Contiguous runs covering indices (start + arange(size)) mod n.
+
+    Yields (grid_start, sub_start, length) triples — at most two when
+    size <= n.
+    """
+    start %= n
+    runs = []
+    pos = 0
+    while pos < size:
+        s = (start + pos) % n
+        length = min(n - s, size - pos)
+        runs.append((s, pos, length))
+        pos += length
+    return runs
+
+
+def subgrid_add_static(grid: Array, offset_u: int, offset_v: int,
+                       subgrid: Array, factor=1.0) -> Array:
+    """`subgrid_add` for *static* (Python int) offsets.
+
+    The wrap-around is decomposed into at most 4 contiguous static
+    slice-adds, which XLA lowers to dynamic-update-slice fusions
+    instead of the general scatter the fancy-indexed version produces
+    (~50x faster per task on TPU; used by the packed whole-image
+    drivers where all offsets are plan constants).
+    """
+    su, sv = subgrid.shape
+    gu, gv = grid.shape
+    contrib = (subgrid * factor).astype(grid.dtype)
+    runs_u = _wrap_runs(gu // 2 - su // 2 - int(offset_u), su, gu)
+    runs_v = _wrap_runs(gv // 2 - sv // 2 - int(offset_v), sv, gv)
+    for gs_u, ss_u, lu in runs_u:
+        for gs_v, ss_v, lv in runs_v:
+            grid = grid.at[gs_u:gs_u + lu, gs_v:gs_v + lv].add(
+                contrib[ss_u:ss_u + lu, ss_v:ss_v + lv])
+    return grid
+
+
+def subgrid_cut_out_static(grid: Array, offset_u: int, offset_v: int,
+                           subgrid_size: int) -> Array:
+    """`subgrid_cut_out` for *static* offsets (slice + concat, no
+    gather)."""
+    gu, gv = grid.shape
+    su = sv = subgrid_size
+    runs_u = _wrap_runs(gu // 2 - su // 2 + int(offset_u), su, gu)
+    runs_v = _wrap_runs(gv // 2 - sv // 2 + int(offset_v), sv, gv)
+    rows = jnp.concatenate(
+        [grid[gs:gs + lu, :] for gs, _, lu in runs_u], axis=0) \
+        if len(runs_u) > 1 else grid[runs_u[0][0]:runs_u[0][0] + su, :]
+    out = jnp.concatenate(
+        [rows[:, gs:gs + lv] for gs, _, lv in runs_v], axis=1) \
+        if len(runs_v) > 1 else rows[:, runs_v[0][0]:runs_v[0][0] + sv]
+    return out
+
+
 def subgrid_cut_out(grid: Array, offset_u: int, offset_v: int,
                     subgrid_size: int) -> Array:
     """Cut a sub-grid out of the grid with wrap-around indexing.

@@ -158,6 +158,32 @@ class GridderWtowerUVW:
 
     grid_num_planes = degrid_num_planes
 
+    def _check_inputs(self, uvws, subgrid_image=None, vis=None,
+                      vis_required: bool = False) -> None:
+        """Input contracts of the (de)gridding entry points — the
+        reference's sdp_mem_check_* discipline
+        (sdp_gridder_wtower_uvw.cpp:743-770)."""
+        from ..utility.errors import SdpDataTypeError, SdpShapeError
+
+        if uvws.ndim != 2 or uvws.shape[-1] != 3:
+            raise SdpShapeError(
+                f"uvws must be [num_rows, 3]; got {uvws.shape}")
+        if not jnp.issubdtype(uvws.dtype, jnp.floating):
+            raise SdpDataTypeError(
+                f"uvws must be real floating; got {uvws.dtype}")
+        if subgrid_image is not None:
+            shape = jnp.shape(subgrid_image)
+            if shape != (self.subgrid_size, self.subgrid_size):
+                raise SdpShapeError(
+                    "subgrid image must be "
+                    f"[{self.subgrid_size}, {self.subgrid_size}]; "
+                    f"got {shape}")
+        if vis_required and vis is not None and \
+                not jnp.issubdtype(jnp.asarray(vis).dtype,
+                                   jnp.complexfloating):
+            raise SdpDataTypeError(
+                f"vis must be complex; got {jnp.asarray(vis).dtype}")
+
     # -- degrid -------------------------------------------------------------
     def degrid_subgrid(self, subgrid_image: Array,
                        subgrid_offset: Tuple[int, int, int],
@@ -179,6 +205,7 @@ class GridderWtowerUVW:
             dfreq_hz = 10.0  # Prevent divide-by-zero (reference :744).
         off_u, off_v, off_w = (int(o) for o in subgrid_offset)
         uvws = jnp.asarray(uvws)
+        self._check_inputs(uvws, subgrid_image=subgrid_image, vis=vis)
         start_chs = jnp.asarray(start_chs)
         end_chs = jnp.asarray(end_chs)
         if vis is None:
@@ -232,6 +259,8 @@ class GridderWtowerUVW:
         off_u, off_v, off_w = (int(o) for o in subgrid_offset)
         vis = jnp.asarray(vis)
         uvws = jnp.asarray(uvws)
+        self._check_inputs(uvws, subgrid_image=subgrid_image, vis=vis,
+                           vis_required=True)
         start_chs = jnp.asarray(start_chs)
         end_chs = jnp.asarray(end_chs)
         num_rows = uvws.shape[0]

@@ -26,6 +26,16 @@ from .bucketed import (
     plan_bucketed,
 )
 from .mesh import make_mesh, pad_rows, row_sharding
+from .packed import (
+    PackedGridder,
+    PackedPlan,
+    degrid_all_packed,
+    degrid_all_packed_sharded,
+    grid_all_packed,
+    grid_all_packed_sharded,
+    packed_gridder,
+    plan_packed,
+)
 from .swiftly_dist import SwiftlyDistributed
 from .wstack import (
     WStackPlan,
@@ -37,16 +47,24 @@ from .wstack import (
 
 __all__ = [
     "BucketedPlan",
+    "PackedGridder",
+    "PackedPlan",
     "SwiftlyDistributed",
     "WStackPlan",
     "WStackTask",
     "degrid_all_bucketed",
+    "degrid_all_packed",
+    "degrid_all_packed_sharded",
     "grid_all_bucketed",
     "grid_all_bucketed_sharded",
+    "grid_all_packed",
+    "grid_all_packed_sharded",
     "inverse_index_of",
     "make_mesh",
+    "packed_gridder",
     "pad_rows",
     "plan_bucketed",
+    "plan_packed",
     "plan_wstack",
     "row_sharding",
     "wstack_degrid_all_sharded",

@@ -65,6 +65,13 @@ def plan_bucketed(plan: WStackPlan, uvw, block_v: int = 1024
     task order (padded entries point at 0 with valid False).
     """
     uvw = np.asarray(uvw, np.float64)
+    if plan.eff_sg_size + plan.support > plan.subgrid_size:
+        from ..utility.errors import SdpInvalidArgumentError
+
+        raise SdpInvalidArgumentError(
+            "bucketed path requires eff_sg_size + support <= subgrid_size "
+            f"({plan.eff_sg_size} + {plan.support} > {plan.subgrid_size}); "
+            "lower subgrid_frac")
     num_chan = plan.num_chan
     freqs = plan.freq0_hz + plan.dfreq_hz * np.arange(num_chan)
     scale = freqs / C_0                                   # [C]
@@ -296,13 +303,21 @@ def degrid_all_bucketed(bplan: BucketedPlan, image: Array, uvw: Array,
             out_sorted, vis_t, (task.start,))
 
     num_rows = uvw.shape[0]
-    return out_sorted[inverse_index].reshape(num_rows, num_chan)
+    # One guaranteed-zero slot for entries the plan never assigned.
+    out_padded = jnp.concatenate(
+        [out_sorted, jnp.zeros((1,), out_sorted.dtype)])
+    return out_padded[inverse_index].reshape(num_rows, num_chan)
 
 
 def inverse_index_of(sort_index: np.ndarray, valid: np.ndarray,
                      num_vis: int) -> np.ndarray:
-    """Host inverse permutation: flattened (row, channel) -> sorted pos."""
-    inv = np.zeros(num_vis, np.int64)
+    """Host inverse permutation: flattened (row, channel) -> sorted pos.
+
+    Entries never assigned by the plan point at the one-past-the-end
+    slot; `degrid_all_bucketed` keeps that slot zero so dropped entries
+    degrid to exactly 0 (instead of aliasing sorted position 0).
+    """
+    inv = np.full(num_vis, sort_index.shape[0], np.int64)
     pos = np.arange(sort_index.shape[0])
     inv[sort_index[valid]] = pos[valid]
     return inv

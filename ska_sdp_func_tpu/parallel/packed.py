@@ -1,0 +1,653 @@
+"""Packed w-stacking drivers: the round-2 whole-image performance path.
+
+Pipeline (single kernel invocation per grid/degrid call, all tasks):
+
+1. **Plan** (host, once per uvw distribution): every (row, channel)
+   visibility is assigned to its (w-plane, sub-grid) task box, its
+   w-slab ``k0`` (first absolute tower layer touched) and u-octet
+   ``g = iu0 // 8``; the stream is bucket-sorted by (task, slab,
+   octet) and each bucket padded to a block multiple. All kernel tap
+   values are table lookups on the host (f64) — the host is the single
+   source of truth for the quantised geometry, so the device never
+   re-derives (and can never disagree about) bucket membership.
+2. **Bands** (device, once per plan): :func:`build_bands` places the
+   taps at their sublane/lane offsets; the result is streamed by every
+   subsequent call.
+3. **Grid** (device, per call): scale stack -> one
+   :func:`grid_packed_pallas` pass over all blocks -> pure-reshape
+   fold of bucket windows into per-task layer stacks -> batched iFFT
+   -> shared w-pattern ladder contraction (one complex einsum; the
+   per-task prefactor ``w_pattern**e0`` is a host-precomputed
+   constant) -> wrap-around subgrid adds -> per-plane grid correction.
+   Degrid mirrors it (window cut-out instead of fold).
+
+Compared to :mod:`.bucketed` (round 1), this removes the per-task
+Python/dispatch loop around the kernels, drops the dense-band matmul
+formulation (~10x FLOPs), and hoists all tap computation out of the
+per-iteration path.
+
+Reference equivalents: the OpenMP task queue + per-task gridder calls
+(sdp_grid_wstack_wtower.cpp:388-440) and the GPU bucket-sort tiling
+(sdp_tiled_functions.cu); the vis-count invariant mirrors
+sdp_grid_wstack_wtower.cpp:442-448 (raises instead of exit(1)).
+"""
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fourier_transforms.fft import fft_shifted, ifft_shifted, \
+    ifft_shifted_norm
+from ..grid_data.gridder_utils import (
+    subgrid_add_static,
+    subgrid_cut_out_static,
+)
+from ..kernels.packed_tap import (
+    WIN_ROWS,
+    build_bands,
+    degrid_packed_pallas,
+    grid_packed_pallas,
+)
+from ..utility.constants import C_0
+from ..utility.errors import SdpInvalidArgumentError, SdpRuntimeError
+from .wstack import WStackPlan
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class PackedTask:
+    iu: int
+    iv: int
+    iw: int
+    first_w_plane: int
+
+
+@dataclass(frozen=True)
+class PackedPlan:
+    """Static packed-ingest geometry + host index/tap arrays.
+
+    Equality/hash cover the geometry and a content digest of the index
+    arrays, so value-equal plans share compiled drivers while plans
+    with different permutations never collide (the round-1 advisor's
+    cache-identity hazard).
+    """
+
+    wplan: WStackPlan
+    tasks: Tuple[PackedTask, ...]
+    num_rows: int
+    num_layers: int          # Kmax: uniform padded tower depth
+    num_slabs: int           # Kmax - w_support + 1
+    num_octets: int
+    block_v: int
+    total: int               # padded sorted-stream length
+    num_blocks: int
+    num_buckets: int
+    digest: str
+    arrays: Dict[str, np.ndarray] = field(compare=False, hash=False,
+                                          repr=False, default=None)
+
+    @property
+    def w_plane_ids(self):
+        return tuple(sorted({t.iw for t in self.tasks}))
+
+
+def _round_half_away_np(x):
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
+                pad_blocks_to: int = 1) -> PackedPlan:
+    """Build the packed ingest plan on the host (NumPy, f64).
+
+    Enumerates the task boxes directly from the per-(row, channel)
+    assignment (so no visibility can ever be dropped — the plan and
+    the assignment are the same arithmetic), bucket-sorts by
+    (task, w-slab, u-octet) and precomputes all kernel taps by table
+    lookup.
+    """
+    support, w_support = wplan.support, wplan.w_support
+    sgs = wplan.subgrid_size
+    if support > 8:
+        raise SdpInvalidArgumentError(
+            "packed path requires support <= 8 (octet window)")
+    if 2 * w_support * WIN_ROWS > 128:
+        raise SdpInvalidArgumentError(
+            "packed path requires w_support <= 4 (MXU row packing)")
+    if sgs % 128 != 0:
+        raise SdpInvalidArgumentError(
+            "packed path requires subgrid_size % 128 == 0")
+    if wplan.eff_sg_size + support > sgs:
+        raise SdpInvalidArgumentError(
+            "packed path requires eff_sg_size + support <= subgrid_size "
+            f"({wplan.eff_sg_size} + {support} > {sgs}); lower "
+            "subgrid_frac")
+
+    uvw = np.asarray(uvw, np.float64)
+    num_rows = uvw.shape[0]
+    num_chan = wplan.num_chan
+    freq0 = wplan.freq0_hz
+    dfreq = wplan.dfreq_hz or 10.0
+    theta, w_step = wplan.theta, wplan.w_step
+    ov, w_ov = wplan.oversampling, wplan.w_oversampling
+    d = wplan.eff_sg_dist
+    wd = wplan.w_stack_dist
+    height = wplan.w_tower_height
+
+    scale = (freq0 + dfreq * np.arange(num_chan)) / C_0
+    u = (uvw[:, 0:1] * scale[None, :]).ravel()
+    v = (uvw[:, 1:2] * scale[None, :]).ravel()
+    w = (uvw[:, 2:3] * scale[None, :]).ravel()
+    num_vis = u.shape[0]
+
+    biu = np.floor(u / d + 0.5).astype(np.int64)
+    biv = np.floor(v / d + 0.5).astype(np.int64)
+    biw = np.floor(w / wd + 0.5).astype(np.int64)
+
+    boxes, task_id = np.unique(np.stack([biw, biu, biv], axis=1),
+                               axis=0, return_inverse=True)
+    task_id = task_id.ravel()
+    num_tasks = boxes.shape[0]
+
+    # Per-task w bounds -> tower plane range (plan_wstack geometry,
+    # sdp_grid_wstack_wtower.cpp:310-330).
+    eta = 1e-5
+    order_t = np.argsort(task_id, kind="stable")
+    seg = np.searchsorted(task_id[order_t], np.arange(num_tasks + 1))
+    w_sorted = w[order_t]
+    off_w_t = np.trunc(boxes[:, 0] * height).astype(np.int64)
+    first_t = np.empty(num_tasks, np.int64)
+    num_planes_t = np.empty(num_tasks, np.int64)
+    for t in range(num_tasks):
+        ws = w_sorted[seg[t]:seg[t + 1]]
+        first = int(np.floor(ws.min() / w_step - eta)) - off_w_t[t]
+        last = int(np.ceil(ws.max() / w_step + eta)) - off_w_t[t] + 1
+        first_t[t] = first
+        num_planes_t[t] = 1 + last - first
+    num_layers = int((num_planes_t + w_support - 1).max())
+    num_slabs = num_layers - w_support + 1
+    num_octets = sgs // 8
+
+    # Per-entry tap geometry relative to its own task (host = single
+    # source of truth; formulas mirror sdp_gridder_wtower_uvw.cpp:126-142
+    # via the device path in grid_data/wtower.py).
+    half_ov = (sgs // 2 - support // 2 + 1) * ov
+    u_rel = u - biu * d
+    v_rel = v - biv * d
+    iu0_ov = _round_half_away_np(u_rel * (theta * ov)).astype(np.int64) \
+        + half_ov
+    iv0_ov = _round_half_away_np(v_rel * (theta * ov)).astype(np.int64) \
+        + half_ov
+    iu0 = np.clip(iu0_ov // ov, 0, sgs - support)
+    iv0 = np.clip(iv0_ov // ov, 0, sgs - support)
+    u_frac = np.mod(iu0_ov, ov)
+    v_frac = np.mod(iv0_ov, ov)
+
+    w_rel = w - off_w_t[task_id] * w_step
+    j = np.floor(w_rel / w_step).astype(np.int64) + 1 - first_t[task_id]
+    w_rel2 = w_rel - (first_t[task_id] + j - 1) * w_step
+    w_row = np.mod(
+        _round_half_away_np(w_rel2 * (w_ov / w_step)).astype(np.int64),
+        w_ov)
+
+    bad = (j < 0) | (j >= num_planes_t[task_id])
+    if bad.any():
+        # The invariant of sdp_grid_wstack_wtower.cpp:442-448: every
+        # visibility must land in a planned slab.
+        raise SdpRuntimeError(
+            f"packed plan: {int(bad.sum())} of {num_vis} visibilities "
+            "fall outside their task's w-tower range")
+
+    kernel = wplan.kernel()
+    uk = kernel.uv_kernel[u_frac].astype(np.float32)     # [V, S]
+    vk = kernel.uv_kernel[v_frac].astype(np.float32)
+    wk = kernel.w_kernel[w_row].astype(np.float32)       # [V, Sw]
+
+    octet = (iu0 >> 3).astype(np.int64)
+    u_off = (iu0 & 7).astype(np.int32)
+    bucket = (task_id * num_slabs + j) * num_octets + octet
+    num_buckets = num_tasks * num_slabs * num_octets
+
+    counts = np.bincount(bucket, minlength=num_buckets)
+    padded = -(-counts // block_v) * block_v            # 0 stays 0
+    pad_off = np.zeros(num_buckets + 1, np.int64)
+    np.cumsum(padded, out=pad_off[1:])
+    total = int(pad_off[-1])
+    num_blocks = total // block_v
+
+    order = np.argsort(bucket, kind="stable")
+    sstart = np.zeros(num_buckets, np.int64)
+    np.cumsum(counts[:-1], out=sstart[1:])
+    rank = np.arange(num_vis) - sstart[bucket[order]]
+    dest = pad_off[bucket[order]] + rank
+
+    sort_index = np.zeros(total, np.int64)
+    valid = np.zeros(total, bool)
+    sort_index[dest] = order
+    valid[dest] = True
+
+    def scatter(x, fill=0):
+        out = np.full((total,) + x.shape[1:], fill, x.dtype)
+        out[dest] = x[order]
+        return out
+
+    u_off_s = scatter(u_off)
+    iv0_s = scatter(iv0.astype(np.int32))
+    uk_s = scatter(uk)
+    vk_s = scatter(vk)
+    wk_s = scatter(wk)
+    wk_s[~valid] = 0.0
+
+    nonzero = np.nonzero(padded)[0]
+    block_bucket = np.repeat(nonzero,
+                             (padded[nonzero] // block_v)).astype(np.int32)
+    visited = counts > 0
+
+    # Optional trailing pad blocks (mesh sharding needs num_blocks to be
+    # a device multiple): they re-visit the last bucket with all-zero
+    # taps, so each shard's runs stay contiguous and the sums unchanged.
+    extra = (-num_blocks) % pad_blocks_to
+    if extra:
+        block_bucket = np.concatenate(
+            [block_bucket, np.full(extra, block_bucket[-1], np.int32)])
+        pad_n = extra * block_v
+        sort_index = np.concatenate([sort_index, np.zeros(pad_n, np.int64)])
+        valid = np.concatenate([valid, np.zeros(pad_n, bool)])
+        u_off_s = np.concatenate([u_off_s, np.zeros(pad_n, np.int32)])
+        iv0_s = np.concatenate([iv0_s, np.zeros(pad_n, np.int32)])
+        uk_s = np.concatenate([uk_s, np.zeros((pad_n, support), np.float32)])
+        vk_s = np.concatenate([vk_s, np.zeros((pad_n, support), np.float32)])
+        wk_s = np.concatenate([wk_s, np.zeros((pad_n, w_support),
+                                              np.float32)])
+        total += pad_n
+        num_blocks += extra
+
+    tasks = tuple(
+        PackedTask(int(boxes[t, 1]), int(boxes[t, 2]), int(boxes[t, 0]),
+                   int(first_t[t]))
+        for t in range(num_tasks))
+
+    arrays = dict(sort_index=sort_index, valid=valid, u_off=u_off_s,
+                  iv0=iv0_s, uk=uk_s, vk=vk_s, wk=wk_s,
+                  block_bucket=block_bucket, visited=visited)
+    h = hashlib.sha256()
+    for name in ("sort_index", "valid", "u_off", "iv0", "wk",
+                 "block_bucket", "visited"):
+        h.update(np.ascontiguousarray(arrays[name]).tobytes())
+    for t in tasks:
+        h.update(repr(t).encode())
+
+    return PackedPlan(
+        wplan=wplan, tasks=tasks, num_rows=num_rows,
+        num_layers=num_layers,
+        num_slabs=num_slabs, num_octets=num_octets, block_v=block_v,
+        total=total, num_blocks=num_blocks, num_buckets=num_buckets,
+        digest=h.hexdigest(), arrays=arrays)
+
+
+# ---------------------------------------------------------------------------
+# Window fold / unfold (pure reshapes; see packed_tap.py row layout)
+# ---------------------------------------------------------------------------
+
+
+def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
+                  w_support, num_layers, size):
+    """[TB, M, size] windows -> [T, Kmax, size, size] complex layers."""
+    w = jnp.where(visited[:, None, None], wins,
+                  jnp.zeros((), wins.dtype))
+    w = w.reshape(num_tasks, num_slabs, num_octets, 2, w_support,
+                  WIN_ROWS, size)
+    low = jnp.moveaxis(w[..., :8, :], 2, 4)    # (T,S,2,Sw,G,8,v)
+    high = jnp.moveaxis(w[..., 8:, :], 2, 4)
+    # High half maps to octet g+1; its g = G-1 slice is provably zero
+    # (iu0 <= size - support), so shift the octet axis by one.
+    high = jnp.pad(high, ((0, 0),) * 4 + ((1, 0), (0, 0), (0, 0)))
+    high = high[:, :, :, :, :num_octets]
+    part = (low + high).reshape(num_tasks, num_slabs, 2, w_support,
+                                size, size)
+    out = jnp.zeros((num_tasks, 2, num_layers, size, size), jnp.float32)
+    for layer in range(w_support):
+        out = out.at[:, :, layer:layer + num_slabs].add(
+            jnp.moveaxis(part[:, :, :, layer], 1, 2))
+    return jax.lax.complex(out[:, 0], out[:, 1])
+
+
+def _unfold_windows(layers, num_tasks, num_slabs, num_octets, w_support,
+                    size):
+    """[T, Kmax, size, size] complex layers -> [TB, M, size] windows."""
+    st = jnp.stack([layers.real.astype(jnp.float32),
+                    layers.imag.astype(jnp.float32)], axis=1)
+    sl = jnp.stack(
+        [jax.lax.slice_in_dim(st, layer, layer + num_slabs, axis=2)
+         for layer in range(w_support)], axis=3)   # (T,2,S,Sw,u,v)
+    blocks = sl.reshape(num_tasks, 2, num_slabs, w_support, num_octets,
+                        8, size)
+    high = jnp.concatenate(
+        [blocks[:, :, :, :, 1:],
+         jnp.zeros_like(blocks[:, :, :, :, :1])], axis=4)
+    win = jnp.concatenate([blocks, high], axis=5)  # (T,2,S,Sw,G,16,v)
+    win = jnp.transpose(win, (0, 2, 4, 1, 3, 5, 6))
+    return win.reshape(num_tasks * num_slabs * num_octets,
+                       2 * w_support * WIN_ROWS, size)
+
+
+# ---------------------------------------------------------------------------
+# Device driver
+# ---------------------------------------------------------------------------
+
+_GRIDDER_CACHE: dict = {}
+
+
+def packed_gridder(pplan: PackedPlan, fast: bool = False):
+    """Per-plan device driver (cached by the plan's content digest)."""
+    key = (pplan, fast)
+    g = _GRIDDER_CACHE.get(key)
+    if g is None:
+        g = PackedGridder(pplan, fast=fast)
+        _GRIDDER_CACHE[key] = g
+    return g
+
+
+class PackedGridder:
+    """Holds the per-plan device arrays and jitted whole-image drivers.
+
+    ``grid``/``degrid`` take/return visibilities in the natural
+    ``[rows, chan]`` layout; ``grid_sorted``/``degrid_sorted`` work on
+    the plan's sorted stream (the major-cycle solver keeps residual
+    visibilities in sorted form so the per-iteration permutation
+    gathers vanish).
+    """
+
+    def __init__(self, pplan: PackedPlan, fast: bool = False):
+        from ..utility.device import device_put
+
+        self.pplan = pplan
+        self.fast = bool(fast)
+        self.interpret = jax.default_backend() != "tpu"
+        plan = pplan.wplan
+        kernel = plan.kernel()
+        self._kernel = kernel
+        arrays = pplan.arrays
+        if arrays is None:
+            raise SdpInvalidArgumentError("plan has no host arrays")
+        if pplan.total >= 2 ** 31 or arrays["sort_index"].max(
+                initial=0) >= 2 ** 31:
+            raise SdpInvalidArgumentError(
+                "packed stream too large for int32 indexing")
+
+        self.sort_index = jnp.asarray(arrays["sort_index"].astype(np.int32))
+        self.valid = jnp.asarray(arrays["valid"])
+        self.block_bucket = jnp.asarray(arrays["block_bucket"])
+        self.visited = jnp.asarray(arrays["visited"])
+        self.wk = jnp.asarray(arrays["wk"])
+        self.ubase, self.ubase_t, self.vband = build_bands(
+            jnp.asarray(arrays["u_off"]), jnp.asarray(arrays["iv0"]),
+            jnp.asarray(arrays["uk"]), jnp.asarray(arrays["vk"]),
+            plan.subgrid_size)
+
+        # Shared w-pattern ladders + per-task prefactors (host numpy
+        # c128 -> device via re/im-plane transfer; jit constants must
+        # not be complex device closures on tunnelled attachments).
+        w_pattern = kernel.w_pattern            # [N, N] c128
+        sw = plan.w_support
+        karange = np.arange(pplan.num_layers)
+        ladder_g = w_pattern[None] ** karange[:, None, None]
+        ladder_d = w_pattern[None] ** (-karange[:, None, None])
+        e0_g = np.asarray([t.first_w_plane + sw // 2 - sw
+                           for t in pplan.tasks])
+        e0_d = np.asarray([sw // 2 - t.first_w_plane
+                           for t in pplan.tasks])
+        pref_g = w_pattern[None] ** e0_g[:, None, None]
+        pref_d = w_pattern[None] ** e0_d[:, None, None]
+        self.ladder_grid = device_put(ladder_g.astype(np.complex64))
+        self.ladder_degrid = device_put(ladder_d.astype(np.complex64))
+        self.pref_grid = device_put(pref_g.astype(np.complex64))
+        self.pref_degrid = device_put(pref_d.astype(np.complex64))
+
+        self._grid_jit = jax.jit(self._grid_impl)
+        self._degrid_jit = jax.jit(self._degrid_impl)
+        self._sort_jit = jax.jit(self._sort_impl)
+        self._unsort_jit = jax.jit(self._unsort_impl)
+        self._sharded_cache: dict = {}
+
+    # -- sorted-stream transforms ------------------------------------
+
+    def _sort_impl(self, vis, sort_index, valid):
+        vis_s = vis.reshape(-1)[sort_index]
+        vre = jnp.where(valid, vis_s.real, 0.0).astype(jnp.float32)
+        vim = jnp.where(valid, vis_s.imag, 0.0).astype(jnp.float32)
+        return vre, vim
+
+    def sort(self, vis: Array):
+        """[rows, chan] visibilities -> sorted-stream (re, im) pair."""
+        return self._sort_jit(vis, self.sort_index, self.valid)
+
+    def _unsort_impl(self, vis_sorted, sort_index, valid):
+        num_rows = self.pplan.num_rows
+        num_vis = self.pplan.wplan.num_chan * num_rows
+        flat = jnp.zeros((num_vis,), vis_sorted.dtype)
+        src = jnp.where(valid, sort_index, num_vis)  # drop pads
+        flat = flat.at[src].set(vis_sorted, mode="drop")
+        return flat.reshape(num_rows, self.pplan.wplan.num_chan)
+
+    def unsort(self, vis_sorted: Array):
+        """Sorted-stream complex vis -> [rows, chan]."""
+        return self._unsort_jit(vis_sorted, self.sort_index, self.valid)
+
+    # -- grid ----------------------------------------------------------
+
+    def _grid_impl(self, vre, vim, wk, ubase, vband, block_bucket,
+                   visited, ladder, pref):
+        pplan = self.pplan
+        plan = pplan.wplan
+        sgs = plan.subgrid_size
+        image_size = plan.image_size
+        sg_factor = (image_size / sgs) ** 2
+        num_tasks = len(pplan.tasks)
+
+        scales = jnp.concatenate([wk * vre[:, None], wk * vim[:, None]],
+                                 axis=1).T
+        wins = grid_packed_pallas(
+            block_bucket, ubase, vband, scales, pplan.num_buckets, sgs,
+            plan.w_support, block_v=pplan.block_v, fast=self.fast,
+            interpret=self.interpret)
+        layers = _fold_windows(wins, visited, num_tasks, pplan.num_slabs,
+                               pplan.num_octets, plan.w_support,
+                               pplan.num_layers, sgs)
+        layers = ifft_shifted(layers)
+        subgrids = jnp.einsum("tkuv,kuv->tuv", layers, ladder) \
+            * pref
+        subgrids = fft_shifted(subgrids)
+
+        per_plane = {}
+        for t, task in enumerate(pplan.tasks):
+            g = per_plane.get(task.iw)
+            if g is None:
+                g = jnp.zeros((image_size, image_size), jnp.complex64)
+            per_plane[task.iw] = subgrid_add_static(
+                g, -task.iu * plan.eff_sg_size,
+                -task.iv * plan.eff_sg_size, subgrids[t], sg_factor)
+
+        image = jnp.zeros((image_size, image_size), jnp.complex64)
+        for iw, g in per_plane.items():
+            g = ifft_shifted_norm(g)
+            g = self._kernel.grid_correct(
+                g, 0, 0, int(np.trunc(iw * plan.w_tower_height)))
+            image = image + g
+        return image.real.astype(jnp.float32)
+
+    def grid_sorted(self, vre: Array, vim: Array) -> Array:
+        """Sorted-stream (re, im) f32 -> real dirty image (f32)."""
+        return self._grid_jit(vre, vim, self.wk, self.ubase, self.vband,
+                              self.block_bucket, self.visited,
+                              self.ladder_grid, self.pref_grid)
+
+    def grid(self, vis: Array) -> Array:
+        """[rows, chan] visibilities -> real dirty image."""
+        vre, vim = self.sort(vis)
+        return self.grid_sorted(vre, vim)
+
+    # -- degrid ---------------------------------------------------------
+
+    def _degrid_impl(self, image, wk, ubase_t, vband, block_bucket,
+                     ladder, pref):
+        pplan = self.pplan
+        plan = pplan.wplan
+        sgs = plan.subgrid_size
+        num_tasks = len(pplan.tasks)
+
+        plane_grids = {}
+        for iw in pplan.w_plane_ids:
+            g = self._kernel.degrid_correct(
+                image.astype(jnp.complex64), 0, 0,
+                int(np.trunc(iw * plan.w_tower_height)))
+            plane_grids[iw] = fft_shifted(g)
+
+        subgrids = jnp.stack([
+            subgrid_cut_out_static(
+                plane_grids[task.iw], task.iu * plan.eff_sg_size,
+                task.iv * plan.eff_sg_size, sgs)
+            for task in pplan.tasks]).astype(jnp.complex64)
+        subgrids = ifft_shifted_norm(subgrids)
+        layers = fft_shifted(
+            (subgrids * pref)[:, None, :, :] * ladder[None])
+        windows = _unfold_windows(layers, num_tasks, pplan.num_slabs,
+                                  pplan.num_octets, plan.w_support, sgs)
+        return degrid_packed_pallas(
+            windows, block_bucket, ubase_t, vband, wk, plan.w_support,
+            block_v=pplan.block_v, fast=self.fast,
+            interpret=self.interpret)
+
+    def degrid_sorted(self, image: Array) -> Array:
+        """Real/complex image -> sorted-stream complex64 visibilities."""
+        return self._degrid_jit(image, self.wk, self.ubase_t, self.vband,
+                                self.block_bucket, self.ladder_degrid,
+                                self.pref_degrid)
+
+    def degrid(self, image: Array) -> Array:
+        """Image -> [rows, chan] complex64 visibilities."""
+        return self.unsort(self.degrid_sorted(image))
+
+    # -- mesh-sharded drivers -------------------------------------------
+    #
+    # True O(V / n_chips) multi-chip ingest: the sorted block stream is
+    # sharded contiguously across the mesh (plan with
+    # ``pad_blocks_to=n_devices``); every chip runs the SAME packed
+    # pipeline over its own blocks (its local visited mask keeps the
+    # fold to its own buckets) and partial images reduce with `psum`
+    # over ICI. This replaces the round-1 sharded driver's
+    # O(tasks x V) per-task masking loop.
+
+    def _mesh_key(self, mesh, axis_name):
+        return (tuple(int(d.id) for d in mesh.devices.flat),
+                tuple(mesh.axis_names), axis_name)
+
+    def _check_mesh(self, mesh):
+        ndev = int(mesh.devices.size)
+        if self.pplan.num_blocks % ndev:
+            raise SdpInvalidArgumentError(
+                f"num_blocks ({self.pplan.num_blocks}) not divisible by "
+                f"{ndev} devices — build the plan with "
+                f"pad_blocks_to={ndev}")
+
+    def grid_sorted_sharded(self, vre: Array, vim: Array, mesh,
+                            axis_name: str = "rows") -> Array:
+        from jax.sharding import PartitionSpec as P
+
+        self._check_mesh(mesh)
+        key = ("grid", self._mesh_key(mesh, axis_name))
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            num_buckets = self.pplan.num_buckets
+
+            def body(vre_c, vim_c, wk_c, ubase_c, vband_c, bb_c,
+                     ladder, pref):
+                visited_local = jnp.zeros((num_buckets,), bool) \
+                    .at[bb_c].set(True)
+                img = self._grid_impl(vre_c, vim_c, wk_c, ubase_c,
+                                      vband_c, bb_c, visited_local,
+                                      ladder, pref)
+                return jax.lax.psum(img, axis_name)
+
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                          P(None, axis_name), P(axis_name), P(axis_name),
+                          P(), P()),
+                out_specs=P(), check_vma=False))
+            self._sharded_cache[key] = fn
+        return fn(vre, vim, self.wk, self.ubase, self.vband,
+                  self.block_bucket, self.ladder_grid, self.pref_grid)
+
+    def grid_sharded(self, vis: Array, mesh,
+                     axis_name: str = "rows") -> Array:
+        vre, vim = self.sort(jnp.asarray(vis))
+        return self.grid_sorted_sharded(vre, vim, mesh, axis_name)
+
+    def degrid_sorted_sharded(self, image: Array, mesh,
+                              axis_name: str = "rows") -> Array:
+        from jax.sharding import PartitionSpec as P
+
+        self._check_mesh(mesh)
+        key = ("degrid", self._mesh_key(mesh, axis_name))
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            def body(image_r, wk_c, ubt_c, vband_c, bb_c, ladder, pref):
+                return self._degrid_impl(image_r, wk_c, ubt_c, vband_c,
+                                         bb_c, ladder, pref)
+
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(axis_name), P(axis_name),
+                          P(axis_name), P(axis_name), P(), P()),
+                out_specs=P(axis_name), check_vma=False))
+            self._sharded_cache[key] = fn
+        return fn(image, self.wk, self.ubase_t, self.vband,
+                  self.block_bucket, self.ladder_degrid,
+                  self.pref_degrid)
+
+    def degrid_sharded(self, image: Array, mesh,
+                       axis_name: str = "rows") -> Array:
+        return self.unsort(
+            self.degrid_sorted_sharded(image, mesh, axis_name))
+
+
+# ---------------------------------------------------------------------------
+# Functional API (parity with the round-1 bucketed drivers)
+# ---------------------------------------------------------------------------
+
+
+def grid_all_packed(pplan: PackedPlan, vis: Array,
+                    fast: bool = False) -> Array:
+    """Whole-image gridding through the packed path. Returns the real
+    dirty image (f32)."""
+    return packed_gridder(pplan, fast).grid(jnp.asarray(vis))
+
+
+def degrid_all_packed(pplan: PackedPlan, image: Array,
+                      fast: bool = False) -> Array:
+    """Whole-image degridding through the packed path. Returns
+    [rows, chan] complex64 visibilities."""
+    return packed_gridder(pplan, fast).degrid(jnp.asarray(image))
+
+
+def grid_all_packed_sharded(pplan: PackedPlan, vis: Array, mesh,
+                            axis_name: str = "rows",
+                            fast: bool = False) -> Array:
+    """Mesh-sharded packed gridding (blocks sharded, images psum'd).
+    The plan must be built with ``pad_blocks_to=mesh.devices.size``."""
+    return packed_gridder(pplan, fast).grid_sharded(vis, mesh, axis_name)
+
+
+def degrid_all_packed_sharded(pplan: PackedPlan, image: Array, mesh,
+                              axis_name: str = "rows",
+                              fast: bool = False) -> Array:
+    """Mesh-sharded packed degridding (replicated image, sharded
+    blocks)."""
+    return packed_gridder(pplan, fast).degrid_sharded(image, mesh,
+                                                      axis_name)

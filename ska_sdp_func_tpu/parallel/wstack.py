@@ -305,6 +305,19 @@ def _mesh_key(mesh: Mesh, axis_name: str):
             tuple(mesh.axis_names), axis_name)
 
 
+def kernel_geometry_key(kernel: GridderWtowerUVW):
+    """Value-defining cache identity for a gridder kernel plan.
+
+    Compiled-driver caches must never key on ``id(kernel)``: a
+    collected kernel's id can be recycled by a different kernel object,
+    silently returning closures compiled over the old kernel's tables.
+    """
+    return (kernel.image_size, kernel.subgrid_size, kernel.theta,
+            kernel.w_step, kernel.shear_u, kernel.shear_v,
+            kernel.support, kernel.oversampling, kernel.w_support,
+            kernel.w_oversampling)
+
+
 def wstack_grid_all_sharded(plan: WStackPlan, vis: Array, uvw: Array,
                             mesh: Mesh,
                             kernel: Optional[GridderWtowerUVW] = None,
@@ -329,7 +342,8 @@ def wstack_grid_all_sharded(plan: WStackPlan, vis: Array, uvw: Array,
     if image_dtype is None:
         image_dtype = vis.dtype
 
-    key = ("grid", plan, id(kernel), _mesh_key(mesh, axis_name))
+    key = ("grid", plan, kernel_geometry_key(kernel),
+           _mesh_key(mesh, axis_name))
     fn = _SHARDED_CACHE.get(key)
     if fn is None:
         def body(vis_s, uvw_s, s_s, e_s):
@@ -369,7 +383,8 @@ def wstack_degrid_all_sharded(plan: WStackPlan, image: Array, uvw: Array,
     uvw_p, _, s_p, e_p = pad_rows_arrays(
         uvw, None, start_chs, end_chs, num_shards)
 
-    key = ("degrid", plan, id(kernel), _mesh_key(mesh, axis_name),
+    key = ("degrid", plan, kernel_geometry_key(kernel),
+           _mesh_key(mesh, axis_name),
            jnp.dtype(vis_dtype).name)
     fn = _SHARDED_CACHE.get(key)
     if fn is None:

@@ -37,6 +37,7 @@ from ..parallel.wstack import (
     WStackPlan,
     degrid_all_tasks,
     grid_all_tasks,
+    kernel_geometry_key,
     plan_wstack,
     wstack_degrid_all_sharded,
     wstack_grid_all_sharded,
@@ -77,11 +78,11 @@ _JIT_CACHE: dict = {}
 
 
 def _jitted_driver(plan, kernel, which: str, vis_dtype=None):
-    # Value-based key: WStackPlan is a frozen dataclass and kernels are
-    # cached by geometry, so equal plans share compiled drivers across
-    # solver invocations.
-    key = (plan, id(kernel), which, jnp.dtype(vis_dtype).name
-           if vis_dtype is not None else None)
+    # Value-based key: WStackPlan is a frozen dataclass and the kernel
+    # is identified by its geometry (never id() — recycled ids would
+    # alias compiled closures over stale tables).
+    key = (plan, kernel_geometry_key(kernel), which,
+           jnp.dtype(vis_dtype).name if vis_dtype is not None else None)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         if which == "grid":
@@ -97,30 +98,32 @@ def _jitted_driver(plan, kernel, which: str, vis_dtype=None):
 def _bucketed_grid(bucket, vis, uvw, psf: bool = False):
     from ..parallel.bucketed import grid_all_bucketed
 
-    key = (bucket["bplan" if not psf else "psf_bplan"], "bgrid", psf)
+    # The permutation arrays are traced ARGUMENTS, not closure
+    # captures: two plans that compare equal but carry different sort
+    # orders must not alias each other's compiled permutation.
+    bplan = bucket["psf_bplan"] if psf else bucket["bplan"]
+    sort = bucket["psf_sort"] if psf else bucket["sort"]
+    valid = bucket["psf_valid"] if psf else bucket["valid"]
+    key = (bplan, "bgrid")
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        bplan = bucket["psf_bplan"] if psf else bucket["bplan"]
-        sort = bucket["psf_sort"] if psf else bucket["sort"]
-        valid = bucket["psf_valid"] if psf else bucket["valid"]
-        fn = jax.jit(lambda v, u: grid_all_bucketed(bplan, v, u, sort,
-                                                    valid))
+        fn = jax.jit(lambda v, u, s_, m_: grid_all_bucketed(
+            bplan, v, u, s_, m_))
         _JIT_CACHE[key] = fn
-    return fn(vis, uvw)
+    return fn(vis, uvw, sort, valid)
 
 
 def _bucketed_degrid(bucket, image, uvw):
     from ..parallel.bucketed import degrid_all_bucketed
 
-    key = (bucket["bplan"], "bdegrid")
+    bplan = bucket["bplan"]
+    key = (bplan, "bdegrid")
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        bplan, sort = bucket["bplan"], bucket["sort"]
-        valid, inv = bucket["valid"], bucket["inv"]
-        fn = jax.jit(lambda img, u: degrid_all_bucketed(
-            bplan, img, u, sort, valid, inv))
+        fn = jax.jit(lambda img, u, s_, m_, i_: degrid_all_bucketed(
+            bplan, img, u, s_, m_, i_))
         _JIT_CACHE[key] = fn
-    return fn(image, uvw)
+    return fn(image, uvw, bucket["sort"], bucket["valid"], bucket["inv"])
 
 
 def _whole_jit() -> bool:
@@ -272,9 +275,25 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     if border is None:
         border = image_size // 16
     bucket = None
+    packed = None
     if bucketed:
         if mesh is not None:
             raise ValueError("bucketed=True is the single-chip path")
+        # Prefer the round-2 packed ingest (one kernel pass over all
+        # tasks, sorted-stream residuals); geometries it cannot express
+        # (subgrid % 128 != 0, support > 8) fall back to the round-1
+        # bucketed per-task path.
+        from ..utility.errors import SdpInvalidArgumentError
+
+        try:
+            from ..parallel.packed import packed_gridder, plan_packed
+
+            pplan = plan_packed(plan, np.asarray(uvw))
+            psf_pplan = plan_packed(psf_plan, np.asarray(uvw))
+            packed = (packed_gridder(pplan), packed_gridder(psf_pplan))
+        except SdpInvalidArgumentError:
+            packed = None
+    if bucketed and packed is None:
         from ..parallel.bucketed import (
             inverse_index_of,
             plan_bucketed,
@@ -298,7 +317,16 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
         weights = jnp.asarray(weights)
         psf_vis = weights.astype(vis.dtype)
         vis = _mul(vis, psf_vis)
-    if bucket is not None:
+    vis_sorted = None
+    if packed is not None:
+        gri, psf_gri = packed
+        psf = psf_gri.grid(psf_vis)
+        vis_sorted = gri.sort(vis)           # (re, im) f32 streams
+        if weights is not None:
+            w_sorted = gri.sort(weights.astype(vis.dtype))[0]
+        else:
+            w_sorted = None
+    elif bucket is not None:
         psf = _bucketed_grid(bucket, psf_vis, uvw, psf=True)
     else:
         psf = _grid(psf_plan, psf_kernel, psf_vis, uvw, mesh)
@@ -329,18 +357,29 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
             residual_img = residual_img.astype(rdtype)
 
     for cycle in range(start_cycle, n_major):
-        if bucket is not None:
-            pred = _bucketed_degrid(bucket, model, uvw).astype(vis.dtype)
+        if packed is not None:
+            # Sorted-stream residual: no per-iteration permutation
+            # gathers — degrid, subtract and grid all stay in the
+            # plan's bucket order.
+            pred = gri.degrid_sorted(model)
+            res_re, res_im = _packed_residual(vis_sorted[0],
+                                              vis_sorted[1], pred,
+                                              w_sorted)
+            raw = gri.grid_sorted(res_re, res_im)
         else:
-            pred = _degrid(plan, kernel, model, uvw, mesh, vis.dtype)
-        if weights is not None:
-            # dirty = A^T W (V - A model): weight the prediction too.
-            pred = _mul(pred, psf_vis)
-        res_vis = _sub(vis, pred)
-        if bucket is not None:
-            raw = _bucketed_grid(bucket, res_vis, uvw)
-        else:
-            raw = _grid(plan, kernel, res_vis, uvw, mesh)
+            if bucket is not None:
+                pred = _bucketed_degrid(bucket, model, uvw).astype(
+                    vis.dtype)
+            else:
+                pred = _degrid(plan, kernel, model, uvw, mesh, vis.dtype)
+            if weights is not None:
+                # dirty = A^T W (V - A model): weight the prediction too.
+                pred = _mul(pred, psf_vis)
+            res_vis = _sub(vis, pred)
+            if bucket is not None:
+                raw = _bucketed_grid(bucket, res_vis, uvw)
+            else:
+                raw = _grid(plan, kernel, res_vis, uvw, mesh)
         dirty = _norm_mask(raw, peak, border)
         stop = _stop_level(dirty, jnp.asarray(threshold, rdtype),
                            jnp.asarray(mgain, rdtype))
@@ -358,6 +397,16 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     restored = _restore(model, cbeam, residual_img)
     return ImagingResult(model=model, residual=residual_img,
                          restored=restored, peak_history=peak_history)
+
+
+@jax.jit
+def _packed_residual(vre, vim, pred, w_sorted):
+    """Sorted-stream residual (re, im): V - W * (A model)."""
+    pre, pim = pred.real, pred.imag
+    if w_sorted is not None:
+        pre = pre * w_sorted
+        pim = pim * w_sorted
+    return vre - pre, vim - pim
 
 
 @jax.jit

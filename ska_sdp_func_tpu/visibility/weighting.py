@@ -80,11 +80,15 @@ def _briggs(uvw, freq_hz, max_abs_uv, robust_param, input_weights,
     cells = grid[jnp.where(ok, idx_u, 0), jnp.where(ok, idx_v, 0)]
     visited = jnp.where(ok[..., None], cells,
                         jnp.zeros((), cells.dtype))
-    sumweight = jnp.sum(visited, dtype=jnp.float64
-                        if cells.dtype == jnp.float64 else jnp.float32)
-    sumweight2 = jnp.sum(visited * visited, dtype=sumweight.dtype)
+    # Accumulate the robustness sums in f64 whenever available: over
+    # ~1e9 visibilities f32 running sums lose digits (on TPU without
+    # x64 the XLA tree reduction keeps the error at ~log2(N) ulps).
+    acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    visited_acc = visited.astype(acc_dtype)
+    sumweight = jnp.sum(visited_acc)
+    sumweight2 = jnp.sum(visited_acc * visited_acc)
     numerator = (5.0 * 10.0 ** (-robust_param)) ** 2
-    robustness = numerator / (sumweight2 / sumweight)
+    robustness = (numerator / (sumweight2 / sumweight)).astype(cells.dtype)
     out = jnp.where(ok[..., None],
                     input_weights / (1.0 + robustness * cells),
                     jnp.zeros((), input_weights.dtype))

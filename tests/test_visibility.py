@@ -223,6 +223,27 @@ def test_briggs_weights_matches_oracle(weighting_data):
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-12)
 
 
+def test_briggs_weights_large_n_f32_accurate():
+    """f32 weights over ~1e6 visibilities: the robustness sums
+    accumulate in f64, so the result tracks the f64 oracle to f32
+    rounding (a sequential f32 sum would lose ~3 digits here)."""
+    rng = np.random.default_rng(11)
+    T, B, C, P = 100, 100, 100, 1
+    uvw = rng.uniform(-800, 800, (T, B, 3))
+    freq = np.linspace(1.0e9, 1.2e9, C)
+    in_w = rng.uniform(0.5, 2.0, (T, B, C, P))
+    max_abs_uv = float(get_uv_range(jnp.asarray(uvw), jnp.asarray(freq)))
+    # f64 uvw in both runs: cell assignment must be identical so the
+    # comparison isolates accumulation accuracy.
+    _, out32 = briggs_weights(jnp.asarray(uvw), jnp.asarray(freq),
+                              max_abs_uv, 0.5,
+                              jnp.asarray(in_w, jnp.float32), 64)
+    _, out64 = briggs_weights(jnp.asarray(uvw), jnp.asarray(freq),
+                              max_abs_uv, 0.5, jnp.asarray(in_w), 64)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out64),
+                               rtol=3e-5)
+
+
 def test_get_uv_range():
     uvw = np.zeros((2, 3, 3))
     uvw[1, 2, 0] = -123.0
