@@ -137,6 +137,12 @@ def main():
         _ = float(red(model))
         mc_dt = (time.perf_counter() - t0) / iters_mc
 
+    import os
+    if os.environ.get("SKA_SDP_FUNC_TPU_BENCH_REPORT"):
+        import sys
+        g.report_timing(vre0, vim0,
+                        print_fn=lambda s: print(s, file=sys.stderr))
+
     print(json.dumps({
         "metric": "gridding_throughput",
         "value": round(grid_mvis, 3),

@@ -89,7 +89,10 @@ class GridderUvwEsFft:
         self.num_rows = int(vis.shape[0])
         self.num_chan = int(vis.shape[1])
         self.image_size = int(dirty_image.shape[0])
-        single = jnp.asarray(vis).dtype == jnp.complex64
+        # Dtype probe without touching device memory (plan construction
+        # must not trigger transfers on tunnelled attachments).
+        single = np.dtype(getattr(vis, "dtype", np.complex128)) \
+            == np.complex64
 
         grid_size, support, beta = _params_from_epsilon(
             self.epsilon, self.image_size, single)
@@ -138,6 +141,27 @@ class GridderUvwEsFft:
         l_norm = np.arange(self.image_size // 2 + 1) / self.grid_size
         self.conv_corr_kernel = self._conv_corr(l_norm) \
             / self.conv_corr_norm_factor
+
+        # Packed (bucket-sorted Pallas) execution plan — the TPU perf
+        # path (es_fft_packed.py). Built from the plan's own uvw/freq
+        # (the reference plan is likewise bound to its arrays); falls
+        # back to the pure-XLA oracle path when unavailable.
+        self._packed = None
+        if single:
+            try:
+                from ..utility.device import to_host
+                from .es_fft_packed import build_es_packed_plan
+
+                self._packed = build_es_packed_plan(
+                    self, to_host(uvw, np.float64),
+                    to_host(freq_hz, np.float64))
+            except Exception as exc:  # pragma: no cover - fallback only
+                from ..utility.logging import log_warning
+
+                log_warning(
+                    "ES-FFT packed plan unavailable (%s); using the "
+                    "XLA oracle path", exc)
+                self._packed = None
 
     def _conv_corr(self, k):
         """C(k) = support * sum_i kern_i w_i cos(pi k support x_i)."""
@@ -229,6 +253,12 @@ class GridderUvwEsFft:
         vis = jnp.asarray(vis)
         weight = jnp.asarray(weight)
         dirty_image = jnp.asarray(dirty_image)
+        if self._packed is not None and vis.dtype == jnp.complex64:
+            from .es_fft_packed import grid_es_packed
+
+            return grid_es_packed(
+                self, self._packed, uvw, freq_hz, vis, weight,
+                dirty_image, jax.default_backend() != "tpu")
         flip, pos_w, iu, iv, ku, kv = self._taps(uvw, freq_hz)
         vis_w = jnp.where((flip < 0)[:, None], jnp.conj(vis), vis) \
             * weight.astype(vis.dtype)
@@ -263,6 +293,13 @@ class GridderUvwEsFft:
         freq_hz = jnp.asarray(freq_hz)
         vis = jnp.asarray(vis)
         dirty_image = jnp.asarray(dirty_image)
+        if self._packed is not None and vis.dtype == jnp.complex64:
+            from .es_fft_packed import degrid_es_packed
+
+            return degrid_es_packed(
+                self, self._packed, uvw, freq_hz, vis,
+                jnp.asarray(weight), dirty_image,
+                jax.default_backend() != "tpu")
         flip, pos_w, iu, iv, ku, kv = self._taps(uvw, freq_hz)
         support = self.support
         size = self.image_size

@@ -1,0 +1,406 @@
+"""Packed (bucket-sorted, band-streaming) execution of the ES-FFT
+gridder — the TPU performance path behind
+:class:`~ska_sdp_func_tpu.grid_data.es_fft.GridderUvwEsFft`.
+
+The ES gridder has exactly the w-towers tap structure (separable
+support^2 uv taps x a ``support``-plane exp-semicircle w window), so it
+reuses the generic packed kernels (kernels/packed_tap.py). Differences
+from the w-towers driver (parallel/packed.py):
+
+- the "subgrid" is the FULL padded uv grid (G up to thousands), so the
+  v axis is bucketed too: buckets are (w-slab k0, u-octet, v-128-block)
+  and windows are ``[2*support*16, 256]`` (256 lanes = aligned 128
+  block + straddle);
+- a dense window array over ALL buckets would be O(GB), so the kernel
+  runs once per w-slab over that slab's contiguous block range with a
+  slab-local dense window array (~hundreds of MB, reused by XLA's
+  allocator across slabs);
+- visibilities with w < 0 are flipped (conjugated) per the reference
+  kernel (sdp_gridder_uvw_es_fft_kernels.cu:127-277); the flip sign
+  rides the plan.
+
+Built once at plan construction from the plan's uvw/freq arrays (the
+reference plan is likewise bound to its arrays); executing with
+*different* uvw than the plan was built from is undefined, as in the
+reference. Visibilities whose uv footprint leaves the padded grid are
+dropped (counted in ``num_clipped``) — the oracle path clips single
+taps instead, but the 2x-padded grid means in-range data never clips.
+"""
+
+import functools
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.packed_tap import (
+    WIN_ROWS,
+    build_bands,
+    degrid_packed_pallas,
+    grid_packed_pallas,
+)
+
+Array = jax.Array
+
+_LANES = 256          # aligned 128-lane block + straddle
+
+
+def _es_np(beta, x):
+    inside = np.abs(x) <= 1.0
+    safe = np.where(inside, x, 0.0)
+    return np.where(inside,
+                    np.exp(beta * (np.sqrt(1.0 - safe * safe) - 1.0)),
+                    0.0)
+
+
+@dataclass
+class EsPackedPlan:
+    """Host bucketing + device bands for one ES-FFT plan."""
+
+    total: int
+    num_blocks: int
+    block_v: int
+    num_w_grids: int
+    w_support: int           # ES w-window = uv support (1 in 2D)
+    num_slabs: int
+    gu: int                  # u octet blocks
+    gv: int                  # v 128-lane blocks
+    rows_pad: int
+    lanes_pad: int
+    slab_blocks: List[Tuple[int, int]]      # per-slab block ranges
+    num_clipped: int
+    arrays: Dict[str, np.ndarray] = field(repr=False, default=None)
+    # Device arrays, uploaded lazily on first use.
+    _dev: dict = field(repr=False, default=None)
+    _jits: dict = field(repr=False, default_factory=dict)
+
+    def device(self):
+        # Materialised eagerly at plan build: running this lazily under
+        # a user's jit would cache TRACERS and poison later calls.
+        if self._dev is None:
+            a = self.arrays
+            ubase, ubase_t, vband = build_bands(
+                jnp.asarray(a["u_off"]), jnp.asarray(a["iv0_local"]),
+                jnp.asarray(a["uk"]), jnp.asarray(a["vk"]), _LANES)
+            self._dev = dict(
+                sort_index=jnp.asarray(a["sort_index"].astype(np.int32)),
+                valid=jnp.asarray(a["valid"]),
+                flip=jnp.asarray(a["flip"]),
+                kw=jnp.asarray(a["kw"]),
+                block_bucket=jnp.asarray(a["block_bucket"]),
+                visited=jnp.asarray(a["visited"]),
+                ubase=ubase, ubase_t=ubase_t, vband=vband)
+        return self._dev
+
+
+def build_es_packed_plan(plan, uvw: np.ndarray, freq: np.ndarray,
+                         block_v: int = 128):
+    """Host bucketing for a GridderUvwEsFft plan (f64 NumPy).
+
+    Returns None when the geometry can't use the packed path
+    (support > 8 — double-precision plans keep the oracle path).
+    """
+    support = plan.support
+    if support > 8:
+        return None
+    G = plan.grid_size
+    hs = support / 2.0
+    sw = support if plan.do_wstacking else 1
+    K = plan.num_total_w_grids
+    num_slabs = max(K - sw + 1, 1)
+
+    from ..utility.device import to_host
+
+    uvw = to_host(uvw, np.float64)
+    freq = to_host(freq, np.float64)
+    R, C = uvw.shape[0], freq.shape[0]
+    from ..utility.constants import C_0
+
+    flip = np.where(uvw[:, 2] < 0, -1.0, 1.0) if plan.do_wstacking \
+        else np.ones(R)
+    inv_wave = flip[:, None] * freq[None, :] / C_0            # [R, C]
+    pos_u = uvw[:, 0:1] * inv_wave * plan.uv_scale
+    pos_v = uvw[:, 1:2] * inv_wave * plan.uv_scale
+    if plan.do_wstacking:
+        pos_w = (uvw[:, 2:3] * inv_wave - plan.min_plane_w) * plan.w_scale
+    else:
+        pos_w = np.zeros_like(pos_u)
+
+    u0 = np.ceil(pos_u - hs).astype(np.int64)
+    v0 = np.ceil(pos_v - hs).astype(np.int64)
+    iu0 = (u0 + G // 2).ravel()
+    iv0 = (v0 + G // 2).ravel()
+    ok = ((iu0 >= 0) & (iu0 <= G - support)
+          & (iv0 >= 0) & (iv0 <= G - support))
+    num_clipped = int((~ok).sum())
+    iu0c = np.clip(iu0, 0, G - support)
+    iv0c = np.clip(iv0, 0, G - support)
+
+    k = np.arange(support)
+    uk = _es_np(plan.beta,
+                ((u0[..., None] + k) - pos_u[..., None]) / hs) \
+        .reshape(-1, support).astype(np.float32)
+    vk = _es_np(plan.beta,
+                ((v0[..., None] + k) - pos_v[..., None]) / hs) \
+        .reshape(-1, support).astype(np.float32)
+    if plan.do_wstacking:
+        k0 = np.clip(np.ceil(pos_w - hs).astype(np.int64), 0,
+                     K - sw).ravel()
+        kw = _es_np(plan.beta,
+                    ((k0.reshape(R, C)[..., None] + np.arange(sw))
+                     - pos_w[..., None]) / hs) \
+            .reshape(-1, sw).astype(np.float32)
+    else:
+        k0 = np.zeros(R * C, np.int64)
+        kw = np.ones((R * C, 1), np.float32)
+
+    gu_blocks = -(-G // 8)
+    gv_blocks = -(-G // 128)
+    rows_pad = 8 * gu_blocks + 8
+    lanes_pad = 128 * gv_blocks + 128
+    gu = iu0c >> 3
+    hv = iv0c >> 7
+    u_off = (iu0c & 7).astype(np.int32)
+    iv0_local = (iv0c & 127).astype(np.int32)
+
+    slab_sz = gu_blocks * gv_blocks
+    bucket = (k0 * slab_sz + gu * gv_blocks + hv)
+    num_buckets = num_slabs * slab_sz
+
+    counts = np.bincount(bucket, minlength=num_buckets)
+    padded = -(-counts // block_v) * block_v
+    pad_off = np.zeros(num_buckets + 1, np.int64)
+    np.cumsum(padded, out=pad_off[1:])
+    total = int(pad_off[-1])
+    num_blocks = total // block_v
+
+    order = np.argsort(bucket, kind="stable")
+    sstart = np.zeros(num_buckets, np.int64)
+    np.cumsum(counts[:-1], out=sstart[1:])
+    rank = np.arange(R * C) - sstart[bucket[order]]
+    dest = pad_off[bucket[order]] + rank
+
+    sort_index = np.zeros(total, np.int64)
+    valid = np.zeros(total, bool)
+    sort_index[dest] = order
+    valid[dest] = True
+    valid[dest[~ok[order]]] = False          # clipped vis dropped
+
+    def scatter(x):
+        out = np.zeros((total,) + x.shape[1:], x.dtype)
+        out[dest] = x[order]
+        return out
+
+    arrays = dict(
+        sort_index=sort_index, valid=valid,
+        u_off=scatter(u_off), iv0_local=scatter(iv0_local),
+        uk=scatter(uk), vk=scatter(vk),
+        kw=np.where(valid[:, None], scatter(kw), 0.0).astype(np.float32),
+        flip=scatter(flip.repeat(C).astype(np.float32)),
+    )
+
+    nonzero = np.nonzero(padded)[0]
+    block_bucket_g = np.repeat(nonzero, padded[nonzero] // block_v)
+    # Slab-local bucket ids for the per-slab kernel invocations.
+    arrays["block_bucket"] = (block_bucket_g % slab_sz).astype(np.int32)
+    visited = np.zeros((num_slabs, slab_sz), bool)
+    visited[np.nonzero(counts)[0] // slab_sz,
+            np.nonzero(counts)[0] % slab_sz] = True
+    arrays["visited"] = visited
+
+    slab_of_block = block_bucket_g // slab_sz
+    slab_blocks = []
+    for s in range(num_slabs):
+        sel = np.nonzero(slab_of_block == s)[0]
+        if sel.size:
+            slab_blocks.append((int(sel[0]), int(sel[-1] + 1)))
+        else:
+            slab_blocks.append((0, 0))
+
+    ep = EsPackedPlan(
+        total=total, num_blocks=num_blocks, block_v=block_v,
+        num_w_grids=K, w_support=sw, num_slabs=num_slabs,
+        gu=gu_blocks, gv=gv_blocks, rows_pad=rows_pad,
+        lanes_pad=lanes_pad, slab_blocks=slab_blocks,
+        num_clipped=num_clipped, arrays=arrays)
+    ep.device()
+    return ep
+
+
+# ---------------------------------------------------------------------------
+# Window fold / unfold on the (u-octet, v-128-block) bucket grid
+# ---------------------------------------------------------------------------
+
+
+def _fold_slab(wins, visited_s, gu, gv, sw, rows_pad, lanes_pad):
+    """[gu*gv, 2*sw*16, 256] windows -> [2, sw, rows_pad, lanes_pad]."""
+    w = jnp.where(visited_s[:, None, None], wins,
+                  jnp.zeros((), wins.dtype))
+    w = w.reshape(gu, gv, 2, sw, WIN_ROWS, 2, 128)
+    # u axis: rows >= 8 belong to octet gu+1.
+    out_u = jnp.zeros((gu + 1, gv, 2, sw, 8, 2, 128), jnp.float32)
+    out_u = out_u.at[:gu].add(w[:, :, :, :, :8])
+    out_u = out_u.at[1:].add(w[:, :, :, :, 8:])
+    # v axis: lane half >= 128 belongs to block hv+1.
+    out = jnp.zeros((gu + 1, gv + 1, 2, sw, 8, 128), jnp.float32)
+    out = out.at[:, :gv].add(out_u[..., 0, :])
+    out = out.at[:, 1:].add(out_u[..., 1, :])
+    # -> [2, sw, rows_pad, lanes_pad]
+    out = jnp.transpose(out, (2, 3, 0, 4, 1, 5))
+    return out.reshape(2, sw, rows_pad, lanes_pad)
+
+
+def _unfold_slab(layers, gu, gv, sw):
+    """[2, sw, rows_pad, lanes_pad] -> [gu*gv, 2*sw*16, 256] windows."""
+    st = layers.reshape(2, sw, gu + 1, 8, gv + 1, 128)
+    low_u = st[:, :, :gu]
+    high_u = st[:, :, 1:]
+    # rows: [2, sw, gu, 16, gv+1, 128]
+    rows = jnp.concatenate([low_u, high_u], axis=3)
+    low_v = rows[..., :gv, :]
+    high_v = rows[..., 1:, :]
+    win = jnp.concatenate([low_v, high_v], axis=5)  # [2,sw,gu,16,gv,256]
+    win = jnp.transpose(win, (2, 4, 0, 1, 3, 5))
+    return win.reshape(gu * gv, 2 * sw * WIN_ROWS, _LANES)
+
+
+# ---------------------------------------------------------------------------
+# Drivers (called from GridderUvwEsFft under jit)
+# ---------------------------------------------------------------------------
+
+
+def grid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
+                   dirty_image, interpret: bool) -> Array:
+    """Packed twin of GridderUvwEsFft.grid_uvw_es_fft.
+
+    Self-jitted with the plan's device arrays as ARGUMENTS: embedding
+    them as closure constants would ship hundreds of MB through the
+    tunnel's compile endpoint (HTTP 413). Do not wrap the public
+    method in another jit around large plans for the same reason.
+    """
+    dev = ep.device()
+    key = ("grid", interpret)
+    fn = ep._jits.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(_grid_es_impl, plan, ep,
+                                       interpret))
+        ep._jits[key] = fn
+    return fn(vis, weight, dirty_image, dev["sort_index"],
+              dev["valid"], dev["flip"], dev["kw"],
+              dev["block_bucket"], dev["ubase"], dev["vband"])
+
+
+def _grid_es_impl(plan, ep, interpret, vis, weight, dirty_image,
+                  sort_index, valid, flip, kw, block_bucket, ubase,
+                  vband):
+    G = plan.grid_size
+    size = plan.image_size
+    sw = ep.w_support
+    lo = G // 2 - size // 2
+
+    vis_w = vis * weight.astype(vis.dtype)
+    vis_s = vis_w.reshape(-1)[sort_index]
+    vre = jnp.where(valid, vis_s.real, 0.0).astype(jnp.float32)
+    vim = jnp.where(valid, vis_s.imag * flip, 0.0) \
+        .astype(jnp.float32)
+    scales = jnp.concatenate([kw * vre[:, None],
+                              kw * vim[:, None]], axis=1).T
+
+    dirty = jnp.zeros((size, size), jnp.float32)
+    acc = jnp.zeros((2, ep.num_w_grids, ep.rows_pad, ep.lanes_pad),
+                    jnp.float32)
+    bv = ep.block_v
+    for s, (b0, b1) in enumerate(ep.slab_blocks):
+        if b1 == b0:
+            continue
+        sl = slice(b0 * bv, b1 * bv)
+        wins = grid_packed_pallas(
+            jax.lax.slice_in_dim(block_bucket, b0, b1, axis=0),
+            ubase[:, sl], vband[sl],
+            scales[:, sl], ep.gu * ep.gv, _LANES, sw,
+            block_v=bv, interpret=interpret)
+        contrib = _fold_slab(wins, jnp.asarray(ep.arrays["visited"][s]),
+                             ep.gu, ep.gv, sw, ep.rows_pad, ep.lanes_pad)
+        acc = acc.at[:, s:s + sw].add(contrib)
+
+    grid_c = jax.lax.complex(acc[0, :, :G, :G], acc[1, :, :G, :G])
+    from ..fourier_transforms.fft import ifft_shifted
+
+    layers = ifft_shifted(grid_c)
+    for iw in range(ep.num_w_grids):
+        plane_w = iw * plan.inv_w_scale + plan.min_plane_w
+        screen, _ = plan._image_screens(plane_w, -1.0)
+        crop = jax.lax.dynamic_slice(layers[iw], (lo, lo), (size, size))
+        dirty = dirty + (crop * screen.astype(crop.dtype)).real \
+            .astype(dirty.dtype)
+    dirty = dirty * plan._correction(dirty.dtype)
+    return dirty_image + dirty.astype(dirty_image.dtype)
+
+
+def degrid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
+                     dirty_image, interpret: bool) -> Array:
+    """Packed twin of GridderUvwEsFft.ifft_degrid_uvw_es_fft
+    (self-jitted; see grid_es_packed)."""
+    dev = ep.device()
+    key = ("degrid", interpret)
+    fn = ep._jits.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(_degrid_es_impl, plan, ep,
+                                       interpret))
+        ep._jits[key] = fn
+    return fn(vis, dirty_image, dev["sort_index"], dev["valid"],
+              dev["flip"], dev["kw"], dev["block_bucket"],
+              dev["ubase_t"], dev["vband"])
+
+
+def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
+                    valid, flip, kw, block_bucket, ubase_t, vband):
+    from ..fourier_transforms.fft import fft_shifted
+    G = plan.grid_size
+    size = plan.image_size
+    sw = ep.w_support
+    lo = G // 2 - size // 2
+    cdtype = vis.dtype
+
+    corrected = dirty_image.astype(jnp.float32) \
+        * plan._correction(jnp.float32)
+    # Per-plane screened layers -> forward FFT -> padded (u, v) layout.
+    screens = []
+    for iw in range(ep.num_w_grids):
+        plane_w = iw * plan.inv_w_scale + plan.min_plane_w
+        screen, _ = plan._image_screens(plane_w, 1.0)
+        screens.append((corrected * screen).astype(jnp.complex64))
+    stack = jnp.stack(screens)
+    layer = jnp.zeros((ep.num_w_grids, G, G), jnp.complex64) \
+        .at[:, lo:lo + size, lo:lo + size].set(stack)
+    grids = fft_shifted(layer)
+    padded = jnp.zeros((2, ep.num_w_grids, ep.rows_pad, ep.lanes_pad),
+                       jnp.float32)
+    padded = padded.at[0, :, :G, :G].set(grids.real.astype(jnp.float32))
+    padded = padded.at[1, :, :G, :G].set(grids.imag.astype(jnp.float32))
+
+    out = jnp.zeros((ep.total,), jnp.complex64)
+    bv = ep.block_v
+    for s, (b0, b1) in enumerate(ep.slab_blocks):
+        if b1 == b0:
+            continue
+        sl = slice(b0 * bv, b1 * bv)
+        wins = _unfold_slab(padded[:, s:s + sw], ep.gu, ep.gv, sw)
+        vis_s = degrid_packed_pallas(
+            wins,
+            jax.lax.slice_in_dim(block_bucket, b0, b1, axis=0),
+            ubase_t[sl], vband[sl], kw[sl],
+            sw, block_v=bv, interpret=interpret)
+        out = jax.lax.dynamic_update_slice(out, vis_s, (b0 * bv,))
+
+    # Undo the w<0 flip (conjugate), unsort, drop pads/clipped.
+    out = jnp.where(flip < 0, jnp.conj(out), out)
+    num_vis = vis.size
+    src = jnp.where(valid, sort_index, num_vis)
+    flat = jnp.zeros((num_vis,), jnp.complex64) \
+        .at[src].set(out, mode="drop")
+    return vis + flat.reshape(vis.shape).astype(cdtype)

@@ -64,7 +64,9 @@ def plan_bucketed(plan: WStackPlan, uvw, block_v: int = 1024
     numpy; sort_index gathers the flattened (row, channel) stream into
     task order (padded entries point at 0 with valid False).
     """
-    uvw = np.asarray(uvw, np.float64)
+    from ..utility.device import to_host
+
+    uvw = to_host(uvw, np.float64)
     if plan.eff_sg_size + plan.support > plan.subgrid_size:
         from ..utility.errors import SdpInvalidArgumentError
 

@@ -34,7 +34,7 @@ sdp_grid_wstack_wtower.cpp:442-448 (raises instead of exit(1)).
 
 import hashlib
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -128,7 +128,9 @@ def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
             f"({wplan.eff_sg_size} + {support} > {sgs}); lower "
             "subgrid_frac")
 
-    uvw = np.asarray(uvw, np.float64)
+    from ..utility.device import to_host
+
+    uvw = to_host(uvw, np.float64)
     num_rows = uvw.shape[0]
     num_chan = wplan.num_chan
     freq0 = wplan.freq0_hz
@@ -149,26 +151,33 @@ def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
     biv = np.floor(v / d + 0.5).astype(np.int64)
     biw = np.floor(w / wd + 0.5).astype(np.int64)
 
-    boxes, task_id = np.unique(np.stack([biw, biu, biv], axis=1),
-                               axis=0, return_inverse=True)
+    # Task enumeration on a packed scalar key (lexicographic in
+    # (biw, biu, biv); ~10x faster than np.unique(axis=0)'s void view).
+    span = 1 << 20
+    box_key = ((biw + span // 2) * span + (biu + span // 2)) * span \
+        + (biv + span // 2)
+    keys, task_id = np.unique(box_key, return_inverse=True)
     task_id = task_id.ravel()
-    num_tasks = boxes.shape[0]
+    num_tasks = keys.shape[0]
+    boxes = np.stack([keys // (span * span) - span // 2,
+                      (keys // span) % span - span // 2,
+                      keys % span - span // 2], axis=1)
 
     # Per-task w bounds -> tower plane range (plan_wstack geometry,
-    # sdp_grid_wstack_wtower.cpp:310-330).
+    # sdp_grid_wstack_wtower.cpp:310-330). Segment reductions over the
+    # task-sorted stream (no per-task Python loop).
     eta = 1e-5
     order_t = np.argsort(task_id, kind="stable")
-    seg = np.searchsorted(task_id[order_t], np.arange(num_tasks + 1))
+    seg = np.searchsorted(task_id[order_t], np.arange(num_tasks))
     w_sorted = w[order_t]
     off_w_t = np.trunc(boxes[:, 0] * height).astype(np.int64)
-    first_t = np.empty(num_tasks, np.int64)
-    num_planes_t = np.empty(num_tasks, np.int64)
-    for t in range(num_tasks):
-        ws = w_sorted[seg[t]:seg[t + 1]]
-        first = int(np.floor(ws.min() / w_step - eta)) - off_w_t[t]
-        last = int(np.ceil(ws.max() / w_step + eta)) - off_w_t[t] + 1
-        first_t[t] = first
-        num_planes_t[t] = 1 + last - first
+    wmin_t = np.minimum.reduceat(w_sorted, seg)
+    wmax_t = np.maximum.reduceat(w_sorted, seg)
+    first_t = (np.floor(wmin_t / w_step - eta).astype(np.int64)
+               - off_w_t)
+    last_t = (np.ceil(wmax_t / w_step + eta).astype(np.int64)
+              - off_w_t + 1)
+    num_planes_t = 1 + last_t - first_t
     num_layers = int((num_planes_t + w_support - 1).max())
     num_slabs = num_layers - w_support + 1
     num_octets = sgs // 8
@@ -441,29 +450,36 @@ class PackedGridder:
 
     # -- grid ----------------------------------------------------------
 
-    def _grid_impl(self, vre, vim, wk, ubase, vband, block_bucket,
-                   visited, ladder, pref):
-        pplan = self.pplan
-        plan = pplan.wplan
-        sgs = plan.subgrid_size
-        image_size = plan.image_size
-        sg_factor = (image_size / sgs) ** 2
-        num_tasks = len(pplan.tasks)
+    # Grid pipeline stages (composable so report_timing can measure
+    # marginal device time per stage; see _grid_impl for the flow).
 
+    def _stage_kernel(self, vre, vim, wk, ubase, vband, block_bucket):
+        pplan = self.pplan
         scales = jnp.concatenate([wk * vre[:, None], wk * vim[:, None]],
                                  axis=1).T
-        wins = grid_packed_pallas(
-            block_bucket, ubase, vband, scales, pplan.num_buckets, sgs,
-            plan.w_support, block_v=pplan.block_v, fast=self.fast,
+        return grid_packed_pallas(
+            block_bucket, ubase, vband, scales, pplan.num_buckets,
+            pplan.wplan.subgrid_size, pplan.wplan.w_support,
+            block_v=pplan.block_v, fast=self.fast,
             interpret=self.interpret)
-        layers = _fold_windows(wins, visited, num_tasks, pplan.num_slabs,
-                               pplan.num_octets, plan.w_support,
-                               pplan.num_layers, sgs)
-        layers = ifft_shifted(layers)
-        subgrids = jnp.einsum("tkuv,kuv->tuv", layers, ladder) \
-            * pref
-        subgrids = fft_shifted(subgrids)
 
+    def _stage_fold(self, wins, visited):
+        pplan = self.pplan
+        return _fold_windows(wins, visited, len(pplan.tasks),
+                             pplan.num_slabs, pplan.num_octets,
+                             pplan.wplan.w_support, pplan.num_layers,
+                             pplan.wplan.subgrid_size)
+
+    def _stage_drain(self, layers, ladder, pref):
+        layers = ifft_shifted(layers)
+        subgrids = jnp.einsum("tkuv,kuv->tuv", layers, ladder) * pref
+        return fft_shifted(subgrids)
+
+    def _stage_planes(self, subgrids):
+        pplan = self.pplan
+        plan = pplan.wplan
+        image_size = plan.image_size
+        sg_factor = (image_size / plan.subgrid_size) ** 2
         per_plane = {}
         for t, task in enumerate(pplan.tasks):
             g = per_plane.get(task.iw)
@@ -472,7 +488,6 @@ class PackedGridder:
             per_plane[task.iw] = subgrid_add_static(
                 g, -task.iu * plan.eff_sg_size,
                 -task.iv * plan.eff_sg_size, subgrids[t], sg_factor)
-
         image = jnp.zeros((image_size, image_size), jnp.complex64)
         for iw, g in per_plane.items():
             g = ifft_shifted_norm(g)
@@ -480,6 +495,14 @@ class PackedGridder:
                 g, 0, 0, int(np.trunc(iw * plan.w_tower_height)))
             image = image + g
         return image.real.astype(jnp.float32)
+
+    def _grid_impl(self, vre, vim, wk, ubase, vband, block_bucket,
+                   visited, ladder, pref):
+        wins = self._stage_kernel(vre, vim, wk, ubase, vband,
+                                  block_bucket)
+        layers = self._stage_fold(wins, visited)
+        subgrids = self._stage_drain(layers, ladder, pref)
+        return self._stage_planes(subgrids)
 
     def grid_sorted(self, vre: Array, vim: Array) -> Array:
         """Sorted-stream (re, im) f32 -> real dirty image (f32)."""
@@ -532,6 +555,82 @@ class PackedGridder:
     def degrid(self, image: Array) -> Array:
         """Image -> [rows, chan] complex64 visibilities."""
         return self.unsort(self.degrid_sorted(image))
+
+    # -- stage timing report --------------------------------------------
+
+    def report_timing(self, vre: Array, vim: Array, iters: int = 10,
+                      print_fn=print):
+        """Per-stage device-time report for one grid pass — the TPU
+        analogue of the reference's per-run report
+        (sdp_grid_wstack_wtower.cpp:169-213, CUDA-event timers).
+
+        Each pipeline prefix is measured with chained executions and a
+        final device->host readback (``block_until_ready`` returns
+        before pipelined chains complete on tunnelled attachments);
+        stage times are the marginal prefix deltas, recorded into a
+        :class:`~ska_sdp_func_tpu.utility.timers.Timers` tree.
+        """
+        import time as _time
+
+        from ..utility.timers import TimerType, Timers
+
+        args = (self.wk, self.ubase, self.vband, self.block_bucket,
+                self.visited, self.ladder_grid, self.pref_grid)
+
+        def upto(n):
+            def f(vre, vim, wk, ubase, vband, bb, visited, ladder, pref):
+                wins = self._stage_kernel(vre, vim, wk, ubase, vband, bb)
+                if n == 0:
+                    return wins
+                layers = self._stage_fold(wins, visited)
+                if n == 1:
+                    return layers
+                subgrids = self._stage_drain(layers, ladder, pref)
+                if n == 2:
+                    return subgrids
+                return self._stage_planes(subgrids)
+            return jax.jit(f)
+
+        red = jax.jit(lambda x: jnp.sum(jnp.abs(x.real))
+                      if jnp.iscomplexobj(x) else jnp.sum(jnp.abs(x)))
+        fb = jax.jit(lambda v, s: v * (jnp.float32(1.0)
+                                       + jnp.float32(1e-6) * jnp.tanh(s)))
+        names = ("scales + packed kernel", "window fold",
+                 "ifft + w ladder + fft", "subgrid adds + correction")
+        prefix_t = []
+        for n in range(4):
+            f = upto(n)
+            out = f(vre, *(vim,) + args)
+            _ = float(red(out))
+            v = vre
+            t0 = _time.perf_counter()
+            for _i in range(iters):
+                out = f(v, *(vim,) + args)
+                v = fb(v, red(out))
+            _ = float(red(out))
+            prefix_t.append((_time.perf_counter() - t0) / iters)
+
+        plan = self.pplan.wplan
+        timers = Timers("grid_all (packed) device time / call",
+                        TimerType.DEVICE)
+        prev = 0.0
+        for name, t in zip(names, prefix_t):
+            timers.record(name, max(t - prev, 0.0))
+            prev = t
+        if print_fn is not None:
+            print_fn(
+                f"# image {plan.image_size}^2, subgrid "
+                f"{plan.subgrid_size}, {len(self.pplan.tasks)} tasks, "
+                f"{len(self.pplan.w_plane_ids)} w-planes, "
+                f"{self.pplan.num_layers} tower layers, "
+                f"{self.pplan.total} stream slots "
+                f"({self.pplan.num_blocks} blocks), w_step "
+                f"{plan.w_step}, tower height {plan.w_tower_height}")
+        timers._root.timer.pause()
+        timers._root.timer._elapsed = prefix_t[-1]
+        timers.report(print_fn)
+        return dict(zip(names, [max(b - a, 0.0) for a, b in
+                                zip([0.0] + prefix_t[:-1], prefix_t)]))
 
     # -- mesh-sharded drivers -------------------------------------------
     #

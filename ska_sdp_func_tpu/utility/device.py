@@ -52,3 +52,19 @@ def device_get(x) -> np.ndarray:
         im = np.asarray(jnp.imag(x))
         return re + 1j * im
     return np.asarray(x)
+
+
+def to_host(x, dtype=None):
+    """Device/host array -> host numpy, optionally converting ON HOST.
+
+    Never requests a dtype-converting device->host transfer: on the
+    tunnelled attachment `np.asarray(device_f32, np.float64)` HANGS the
+    tunnel for minutes (same failure family as complex transfers).
+    Transfer in the array's own dtype first, then astype on the host.
+    """
+    import numpy as _np
+
+    out = _np.asarray(x)
+    if dtype is not None and out.dtype != _np.dtype(dtype):
+        out = out.astype(dtype)
+    return out

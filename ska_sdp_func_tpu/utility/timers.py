@@ -108,6 +108,21 @@ class Timers:
         self.pop()
         return self.push(name)
 
+    def record(self, name: str, seconds: float) -> None:
+        """Accumulate an externally measured duration under ``name``.
+
+        Used by drivers that measure device time per stage with chained
+        executions + readback (``block_until_ready`` returns before
+        pipelined chains complete on tunnelled TPU attachments, so the
+        push/pop DEVICE backend under-reports there; see
+        parallel/packed.py report_timing)."""
+        parent = self._stack[-1]
+        node = parent.children.get(name)
+        if node is None:
+            node = _TimerNode(name, Timer(self.timer_type))
+            parent.children[name] = node
+        node.timer._elapsed += float(seconds)
+
     def __enter__(self):
         return self
 

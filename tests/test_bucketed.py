@@ -61,6 +61,7 @@ def test_bucket_partition_complete(scenario):
         assert t.size % 128 == 0
 
 
+@pytest.mark.slow
 def test_bucketed_grid_matches_task_driver(scenario):
     s = scenario
     uvw = jnp.asarray(s["uvw"])
@@ -79,6 +80,7 @@ def test_bucketed_grid_matches_task_driver(scenario):
         atol=1e-4 * scale)
 
 
+@pytest.mark.slow
 def test_bucketed_degrid_matches_task_driver(scenario):
     s = scenario
     uvw = jnp.asarray(s["uvw"])
@@ -101,6 +103,7 @@ def test_bucketed_degrid_matches_task_driver(scenario):
                                atol=1e-4 * scale)
 
 
+@pytest.mark.slow
 def test_bucketed_sharded_matches_single(scenario):
     """The mesh-sharded bucketed grid equals the single-chip bucketed
     grid (the GPU-vs-CPU consistency pattern)."""

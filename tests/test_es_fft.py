@@ -66,6 +66,77 @@ def test_es_fft_adjointness(data, do_wstacking):
     assert rrmse < 1e-12
 
 
+@pytest.mark.parametrize("do_wstacking", [False, True],
+                         ids=["2d", "3d"])
+@pytest.mark.parametrize("single", [True, False], ids=["sp", "dp"])
+def test_es_fft_adjointness_matrix(data, single, do_wstacking):
+    """The reference's 4-way per-precision adjointness matrix
+    (test_gridder_uvw_es_fft.py:500-529): single precision at
+    epsilon=1e-5 must pass 1e-5, double at 1e-12 must pass 1e-12."""
+    d = data
+    epsilon = 1e-5 if single else 1e-12
+    dtype = np.complex64 if single else np.complex128
+    plan, dirty0 = _make_plan(d, do_wstacking, epsilon=epsilon,
+                              dtype=dtype)
+    rng = np.random.default_rng(40)
+    image = rng.standard_normal(
+        (d["image_size"], d["image_size"])).astype(dirty0.dtype)
+    vis = d["vis"].astype(dtype)
+    weight = d["weight"].astype(dirty0.dtype)
+    uvw = d["uvw"].astype(dirty0.dtype)
+    freq = d["freq"].astype(dirty0.dtype)
+
+    gridded = plan.grid_uvw_es_fft(
+        jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(vis),
+        jnp.asarray(weight), jnp.asarray(dirty0))
+    adj1 = np.vdot(np.asarray(gridded), image)
+
+    predicted = plan.ifft_degrid_uvw_es_fft(
+        jnp.asarray(uvw), jnp.asarray(freq), jnp.zeros_like(vis),
+        jnp.asarray(weight), jnp.asarray(image))
+    adj2 = np.vdot(vis * weight, np.asarray(predicted)).real
+
+    adj_error = abs(adj1 - adj2) / max(abs(adj1), abs(adj2))
+    assert adj_error < (1e-5 if single else 1e-12)
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True],
+                         ids=["2d", "3d"])
+def test_es_fft_packed_matches_oracle(data, do_wstacking):
+    """The packed (bucket-sorted Pallas) execution equals the pure-XLA
+    oracle path at the f32 floor (both grid and degrid)."""
+    d = data
+    plan, dirty0 = _make_plan(d, do_wstacking, dtype=np.complex64)
+    assert plan._packed is not None
+    assert plan._packed.num_clipped == 0
+    vis = d["vis"].astype(np.complex64)
+    args = (jnp.asarray(d["uvw"].astype(np.float32)),
+            jnp.asarray(d["freq"].astype(np.float32)),
+            jnp.asarray(vis),
+            jnp.asarray(d["weight"].astype(np.float32)))
+
+    img_p = np.asarray(plan.grid_uvw_es_fft(*args, jnp.asarray(dirty0)))
+    packed = plan._packed
+    plan._packed = None              # force the oracle path
+    try:
+        img_o = np.asarray(plan.grid_uvw_es_fft(*args,
+                                                jnp.asarray(dirty0)))
+        rng = np.random.default_rng(3)
+        image = rng.standard_normal(
+            (d["image_size"], d["image_size"])).astype(np.float32)
+        vis_o = np.asarray(plan.ifft_degrid_uvw_es_fft(
+            *args, jnp.asarray(image)))
+    finally:
+        plan._packed = packed
+    vis_p = np.asarray(plan.ifft_degrid_uvw_es_fft(
+        *args, jnp.asarray(image)))
+
+    scale = np.abs(img_o).max()
+    np.testing.assert_allclose(img_p, img_o, atol=2e-6 * scale)
+    vscale = np.abs(vis_o).max()
+    np.testing.assert_allclose(vis_p, vis_o, atol=2e-6 * vscale)
+
+
 @pytest.mark.parametrize("do_wstacking", [False, True])
 def test_es_fft_grid_matches_dft_image(data, do_wstacking):
     """Dirty image must match the direct iDFT image to ~epsilon."""

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from ska_sdp_func_tpu.utility.errors import (
     SdpDataTypeError,
     SdpInvalidArgumentError,
-    SdpRuntimeError,
     SdpShapeError,
 )
 

@@ -150,6 +150,7 @@ def test_packed_sharded_matches_single(scenario):
                                atol=1e-4 * vscale)
 
 
+@pytest.mark.slow
 def test_major_cycle_packed_converges(scenario):
     """The solver's bucketed=True path picks the packed ingest for
     128-multiple subgrids and still converges on point sources."""
@@ -181,3 +182,17 @@ def test_packed_plan_rejects_unsupported_geometry(scenario):
                       **{**PARAMS, "subgrid_size": 96})
     with pytest.raises(SdpInvalidArgumentError):
         plan_packed(bad, s["uvw"])
+
+
+@pytest.mark.slow
+def test_report_timing_stages(scenario):
+    """The per-stage device-time report runs and covers the pipeline."""
+    s = scenario
+    g = packed_gridder(s["pplan"])
+    vre, vim = g.sort(jnp.asarray(s["vis"]))
+    lines = []
+    stages = g.report_timing(vre, vim, iters=2,
+                             print_fn=lines.append)
+    assert len(stages) == 4
+    assert all(t >= 0.0 for t in stages.values())
+    assert any("packed kernel" in ln for ln in lines)

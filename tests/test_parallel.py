@@ -65,6 +65,7 @@ def test_plan_has_tasks(scenario):
     assert {t.iw for t in plan.tasks} == set(plan.w_plane_ids)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [1, 8])
 def test_sharded_grid_matches_single_chip(scenario, n_dev):
     s = scenario
@@ -85,6 +86,7 @@ def test_sharded_grid_matches_single_chip(scenario, n_dev):
                                np.asarray(ref)[b:-b, b:-b], atol=1e-10)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [1, 8])
 def test_sharded_degrid_matches_single_chip(scenario, n_dev):
     s = scenario

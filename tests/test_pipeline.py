@@ -53,6 +53,7 @@ def scenario():
                 image=image, plan=plan)
 
 
+@pytest.mark.slow
 def test_dirty_and_psf(scenario):
     s = scenario
     dirty, psf = dirty_and_psf(s["plan"], jnp.asarray(s["vis"]),
@@ -93,6 +94,7 @@ def test_major_cycle_recovers_sources(scenario):
     assert result.restored.shape == (IMAGE_SIZE, IMAGE_SIZE)
 
 
+@pytest.mark.slow
 def test_major_cycle_multichip_matches_single(scenario):
     s = scenario
     kwargs = dict(n_major=2, loop_gain=0.2, threshold=1e-3, cycle_limit=150)
@@ -157,6 +159,7 @@ def test_major_cycle_with_briggs_weights(scenario):
     assert abs(f1 - 1.0) < 0.05, f1
 
 
+@pytest.mark.slow
 def test_major_cycle_msclean_extended_emission(scenario):
     """Multi-scale minor cycles in the major loop recover an extended
     (Gaussian) source's total flux."""
@@ -178,6 +181,7 @@ def test_major_cycle_msclean_extended_emission(scenario):
     assert res.peak_history[-1] < 5e-3, res.peak_history
 
 
+@pytest.mark.slow
 def test_major_cycle_bucketed_matches(scenario):
     """The bucketed ingest path recovers the same sources (f32 path,
     modest tolerance)."""

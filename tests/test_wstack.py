@@ -53,6 +53,7 @@ def scenario():
                 image=image)
 
 
+@pytest.mark.slow
 def test_degrid_all_matches_point_source_dft(scenario):
     s = scenario
     vis = wstack_wtower_degrid_all(
@@ -72,6 +73,7 @@ def test_degrid_all_matches_point_source_dft(scenario):
     assert err < 5e-4, f"relative error {err}"
 
 
+@pytest.mark.slow
 def test_grid_all_matches_idft_image(scenario):
     s = scenario
     num_rows = s["uvw"].shape[0]
