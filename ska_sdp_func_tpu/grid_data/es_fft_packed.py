@@ -97,6 +97,18 @@ class EsPackedPlan:
         return self._dev
 
 
+def _build_screens(plan, sign: float):
+    """[K, size, size] c64 stack of exp(sign 2 pi i w (n-1))/n — static
+    per plan; rebuilding these per call costs ~2M transcendentals per
+    w-plane."""
+    outs = []
+    for iw in range(plan.num_total_w_grids):
+        plane_w = iw * plan.inv_w_scale + plan.min_plane_w
+        screen, _ = plan._image_screens(plane_w, sign)
+        outs.append(screen.astype(jnp.complex64))
+    return jnp.stack(outs)
+
+
 def build_es_packed_plan(plan, uvw: np.ndarray, freq: np.ndarray,
                          block_v: int = 128):
     """Host bucketing for a GridderUvwEsFft plan (f64 NumPy).
@@ -227,7 +239,13 @@ def build_es_packed_plan(plan, uvw: np.ndarray, freq: np.ndarray,
         gu=gu_blocks, gv=gv_blocks, rows_pad=rows_pad,
         lanes_pad=lanes_pad, slab_blocks=slab_blocks,
         num_clipped=num_clipped, arrays=arrays)
-    ep.device()
+    dev = ep.device()
+    dev["screens_grid"] = jax.jit(
+        lambda: _build_screens(plan, -1.0))()
+    dev["screens_degrid"] = jax.jit(
+        lambda: _build_screens(plan, 1.0))()
+    dev["correction"] = jax.jit(
+        lambda: plan._correction(jnp.float32))()
     return ep
 
 
@@ -291,12 +309,13 @@ def grid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
         ep._jits[key] = fn
     return fn(vis, weight, dirty_image, dev["sort_index"],
               dev["valid"], dev["flip"], dev["kw"],
-              dev["block_bucket"], dev["ubase"], dev["vband"])
+              dev["block_bucket"], dev["ubase"], dev["vband"],
+              dev["screens_grid"], dev["correction"])
 
 
 def _grid_es_impl(plan, ep, interpret, vis, weight, dirty_image,
                   sort_index, valid, flip, kw, block_bucket, ubase,
-                  vband):
+                  vband, screens, correction):
     G = plan.grid_size
     size = plan.image_size
     sw = ep.w_support
@@ -331,13 +350,10 @@ def _grid_es_impl(plan, ep, interpret, vis, weight, dirty_image,
     from ..fourier_transforms.fft import ifft_shifted
 
     layers = ifft_shifted(grid_c)
-    for iw in range(ep.num_w_grids):
-        plane_w = iw * plan.inv_w_scale + plan.min_plane_w
-        screen, _ = plan._image_screens(plane_w, -1.0)
-        crop = jax.lax.dynamic_slice(layers[iw], (lo, lo), (size, size))
-        dirty = dirty + (crop * screen.astype(crop.dtype)).real \
-            .astype(dirty.dtype)
-    dirty = dirty * plan._correction(dirty.dtype)
+    crops = jax.lax.dynamic_slice(
+        layers, (0, lo, lo), (ep.num_w_grids, size, size))
+    dirty = jnp.sum((crops * screens).real, axis=0).astype(dirty.dtype)
+    dirty = dirty * correction
     return dirty_image + dirty.astype(dirty_image.dtype)
 
 
@@ -354,11 +370,13 @@ def degrid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
         ep._jits[key] = fn
     return fn(vis, dirty_image, dev["sort_index"], dev["valid"],
               dev["flip"], dev["kw"], dev["block_bucket"],
-              dev["ubase_t"], dev["vband"])
+              dev["ubase_t"], dev["vband"], dev["screens_degrid"],
+              dev["correction"])
 
 
 def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
-                    valid, flip, kw, block_bucket, ubase_t, vband):
+                    valid, flip, kw, block_bucket, ubase_t, vband,
+                    screens, correction):
     from ..fourier_transforms.fft import fft_shifted
     G = plan.grid_size
     size = plan.image_size
@@ -366,15 +384,9 @@ def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
     lo = G // 2 - size // 2
     cdtype = vis.dtype
 
-    corrected = dirty_image.astype(jnp.float32) \
-        * plan._correction(jnp.float32)
+    corrected = dirty_image.astype(jnp.float32) * correction
     # Per-plane screened layers -> forward FFT -> padded (u, v) layout.
-    screens = []
-    for iw in range(ep.num_w_grids):
-        plane_w = iw * plan.inv_w_scale + plan.min_plane_w
-        screen, _ = plan._image_screens(plane_w, 1.0)
-        screens.append((corrected * screen).astype(jnp.complex64))
-    stack = jnp.stack(screens)
+    stack = (corrected[None] * screens).astype(jnp.complex64)
     layer = jnp.zeros((ep.num_w_grids, G, G), jnp.complex64) \
         .at[:, lo:lo + size, lo:lo + size].set(stack)
     grids = fft_shifted(layer)

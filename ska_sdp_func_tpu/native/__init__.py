@@ -66,6 +66,26 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sdp_tpu_plan_wstack.restype = None
     lib.sdp_tpu_sort_rows_by_w.argtypes = [_p_dbl, _i64, _p_i64]
     lib.sdp_tpu_sort_rows_by_w.restype = None
+    _p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    _p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.sdp_tpu_packed_buckets.argtypes = [
+        _p_dbl, _i64, _dbl, _dbl, _i64,
+        _dbl, _dbl, _dbl, _dbl,
+        _i64, _i64, _i64, _i64, _i64,
+        _p_i64, _p_i64, _p_i64, _p_i64,
+        _i64, _i64, _i64,
+        _p_i64, _p_i64]
+    lib.sdp_tpu_packed_buckets.restype = _i64
+    lib.sdp_tpu_packed_fill.argtypes = [
+        _p_dbl, _i64, _dbl, _dbl, _i64,
+        _dbl, _dbl, _dbl, _dbl,
+        _i64, _i64, _i64, _i64, _i64,
+        _p_i64, _p_i64, _p_i64,
+        _p_i64, _p_i64, _i64,
+        _p_dbl, _p_dbl,
+        _p_i64, _p_u8, _p_i32, _p_i32,
+        _p_f32, _p_f32, _p_f32]
+    lib.sdp_tpu_packed_fill.restype = None
     lib.sdp_tpu_prefix_sum.argtypes = [_p_i64, _i64, _p_i64]
     lib.sdp_tpu_prefix_sum.restype = None
     return lib
@@ -203,6 +223,71 @@ def _plan_wstack_boxes_np(uvw, freq0, dfreq, num_chan, eff_sg_dist,
     return counts, wmin, wmax
 
 
+def packed_plan_arrays(uvw, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
+                       theta, w_step, height, ov, w_ov, sgs, support,
+                       w_support, task_id, first_t, off_w_t,
+                       num_planes_t, num_slabs, num_octets, block_v,
+                       uv_table, w_table):
+    """Native two-pass packed-ingest planner (see host_runtime.cpp).
+
+    Returns None when the native library is unavailable (the caller
+    falls back to the NumPy path), else a dict with the padded sorted
+    arrays + bucket counts; raises on the processed-vis invariant.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    task_id = np.ascontiguousarray(task_id, np.int64)
+    first_t = np.ascontiguousarray(first_t, np.int64)
+    off_w_t = np.ascontiguousarray(off_w_t, np.int64)
+    num_planes_t = np.ascontiguousarray(num_planes_t, np.int64)
+    uv_table = np.ascontiguousarray(uv_table, np.float64)
+    w_table = np.ascontiguousarray(w_table, np.float64)
+    num_rows = uvw.shape[0]
+    num_vis = num_rows * num_chan
+    num_buckets = int(first_t.shape[0]) * num_slabs * num_octets
+
+    bucket = np.empty(num_vis, np.int64)
+    counts = np.empty(num_buckets, np.int64)
+    bad = lib.sdp_tpu_packed_buckets(
+        uvw, num_rows, freq0_hz, dfreq_hz, num_chan,
+        eff_sg_dist, theta, w_step, height,
+        ov, w_ov, sgs, support, w_support,
+        task_id, first_t, off_w_t, num_planes_t,
+        num_slabs, num_octets, num_buckets, bucket, counts)
+    if bad:
+        from ..utility.errors import SdpRuntimeError
+
+        raise SdpRuntimeError(
+            f"packed plan: {int(bad)} of {num_vis} visibilities fall "
+            "outside their task's w-tower range")
+
+    padded = -(-counts // block_v) * block_v
+    pad_off = np.zeros(num_buckets + 1, np.int64)
+    np.cumsum(padded, out=pad_off[1:])
+    total = int(pad_off[-1])
+
+    sort_index = np.zeros(total, np.int64)
+    valid = np.zeros(total, np.uint8)
+    u_off = np.zeros(total, np.int32)
+    iv0 = np.zeros(total, np.int32)
+    uk = np.zeros((total, support), np.float32)
+    vk = np.zeros((total, support), np.float32)
+    wk = np.zeros((total, w_support), np.float32)
+    lib.sdp_tpu_packed_fill(
+        uvw, num_rows, freq0_hz, dfreq_hz, num_chan,
+        eff_sg_dist, theta, w_step, height,
+        ov, w_ov, sgs, support, w_support,
+        task_id, first_t, off_w_t,
+        bucket, pad_off[:-1].copy(), num_buckets,
+        uv_table, w_table,
+        sort_index, valid, u_off, iv0, uk, vk, wk)
+    return dict(sort_index=sort_index, valid=valid.astype(bool),
+                u_off=u_off, iv0=iv0, uk=uk, vk=vk, wk=wk,
+                counts=counts, padded=padded, total=total)
+
+
 def sort_rows_by_w(uvw) -> np.ndarray:
     """Stable argsort of rows by w (bucket-sort permutation)."""
     uvw = np.ascontiguousarray(uvw, np.float64)
@@ -229,6 +314,7 @@ def prefix_sum(counts) -> np.ndarray:
 
 __all__ = [
     "available",
+    "packed_plan_arrays",
     "plan_wstack_boxes",
     "prefix_sum",
     "sort_rows_by_w",

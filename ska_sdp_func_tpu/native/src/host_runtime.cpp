@@ -197,6 +197,206 @@ void sdp_tpu_plan_wstack(const double* uvw, int64_t num_rows,
         }
 }
 
+// ---------------------------------------------------------------------
+// Packed-ingest planner (parallel/packed.py plan_packed): the per-entry
+// geometry + bucket assignment + stable counting sort + tap table
+// lookups, in two OpenMP passes. The Python planner enumerates tasks
+// (np.unique) and per-task tower bounds first, then calls:
+//   1. sdp_tpu_packed_buckets: per-(row, chan) bucket id + counts
+//   2. (Python: pad counts to block multiples, prefix sums)
+//   3. sdp_tpu_packed_fill: place entries in stable bucket order and
+//      write the padded sorted arrays incl. f32 tap-table rows.
+// Mirrors the reference's bucket-sort tiling (sdp_tiled_functions.cpp)
+// fused with the tap addressing of sdp_gridder_wtower_uvw.cpp:126-142.
+
+namespace {
+
+inline double round_half_away(double x)
+{
+    return x >= 0.0 ? std::floor(x + 0.5) : std::ceil(x - 0.5);
+}
+
+inline int64_t floor_div(int64_t a, int64_t b)
+{
+    int64_t q = a / b, r = a % b;
+    return (r != 0 && ((r < 0) != (b < 0))) ? q - 1 : q;
+}
+
+inline int64_t floor_mod(int64_t a, int64_t b)
+{
+    int64_t r = a % b;
+    return (r != 0 && ((r < 0) != (b < 0))) ? r + b : r;
+}
+
+struct PackedGeom
+{
+    double freq0, dfreq, eff_sg_dist, theta, w_step, height;
+    int64_t num_chan, ov, w_ov, sgs, support, w_support;
+};
+
+// Per-entry geometry shared by both passes (must mirror plan_packed's
+// NumPy arithmetic exactly).
+inline void packed_entry(const PackedGeom& g, const double* uvw,
+                         int64_t row, int64_t ch,
+                         const int64_t* first_t, const int64_t* off_w_t,
+                         int64_t task,
+                         int64_t* iu0, int64_t* iv0,
+                         int64_t* u_frac, int64_t* v_frac,
+                         int64_t* j, int64_t* w_row)
+{
+    const double sc = (g.freq0 + g.dfreq * (double)ch) / kC0;
+    const double u = uvw[3 * row + 0] * sc;
+    const double v = uvw[3 * row + 1] * sc;
+    const double w = uvw[3 * row + 2] * sc;
+    const double d = g.eff_sg_dist;
+    const int64_t biu = (int64_t)std::floor(u / d + 0.5);
+    const int64_t biv = (int64_t)std::floor(v / d + 0.5);
+    const int64_t half_ov =
+        (g.sgs / 2 - g.support / 2 + 1) * g.ov;
+    const double u_rel = u - (double)biu * d;
+    const double v_rel = v - (double)biv * d;
+    const int64_t iu0_ov =
+        (int64_t)round_half_away(u_rel * (g.theta * (double)g.ov))
+        + half_ov;
+    const int64_t iv0_ov =
+        (int64_t)round_half_away(v_rel * (g.theta * (double)g.ov))
+        + half_ov;
+    int64_t iu = floor_div(iu0_ov, g.ov);
+    int64_t iv = floor_div(iv0_ov, g.ov);
+    iu = std::min(std::max(iu, (int64_t)0), g.sgs - g.support);
+    iv = std::min(std::max(iv, (int64_t)0), g.sgs - g.support);
+    *iu0 = iu;
+    *iv0 = iv;
+    *u_frac = floor_mod(iu0_ov, g.ov);
+    *v_frac = floor_mod(iv0_ov, g.ov);
+
+    const double w_rel = w - (double)off_w_t[task] * g.w_step;
+    const int64_t jj = (int64_t)std::floor(w_rel / g.w_step) + 1
+        - first_t[task];
+    const double w_rel2 =
+        w_rel - (double)(first_t[task] + jj - 1) * g.w_step;
+    *j = jj;
+    *w_row = floor_mod(
+        (int64_t)round_half_away(w_rel2 * ((double)g.w_ov / g.w_step)),
+        g.w_ov);
+}
+
+}  // namespace
+
+// Pass 1: per-entry bucket ids + per-bucket counts. Returns the number
+// of entries whose slab index is out of the task's tower range (the
+// processed-vis invariant; caller raises when non-zero).
+int64_t sdp_tpu_packed_buckets(
+    const double* uvw, int64_t num_rows,
+    double freq0_hz, double dfreq_hz, int64_t num_chan,
+    double eff_sg_dist, double theta, double w_step, double height,
+    int64_t ov, int64_t w_ov, int64_t sgs, int64_t support,
+    int64_t w_support,
+    const int64_t* task_id, const int64_t* first_t,
+    const int64_t* off_w_t, const int64_t* num_planes_t,
+    int64_t num_slabs, int64_t num_octets, int64_t num_buckets,
+    int64_t* bucket, int64_t* counts)
+{
+    const PackedGeom g{freq0_hz, dfreq_hz, eff_sg_dist, theta, w_step,
+                       height, num_chan, ov, w_ov, sgs, support,
+                       w_support};
+    for (int64_t i = 0; i < num_buckets; ++i) counts[i] = 0;
+    int64_t bad = 0;
+#ifdef _OPENMP
+    const int num_threads = omp_get_max_threads();
+#else
+    const int num_threads = 1;
+#endif
+    std::vector<std::vector<int64_t>> t_counts(
+        num_threads, std::vector<int64_t>(num_buckets, 0));
+
+#pragma omp parallel for schedule(static) reduction(+ : bad)
+    for (int64_t r = 0; r < num_rows; ++r)
+    {
+#ifdef _OPENMP
+        const int tid = omp_get_thread_num();
+#else
+        const int tid = 0;
+#endif
+        for (int64_t c = 0; c < num_chan; ++c)
+        {
+            const int64_t e = r * num_chan + c;
+            const int64_t task = task_id[e];
+            int64_t iu0, iv0, uf, vf, j, wr;
+            packed_entry(g, uvw, r, c, first_t, off_w_t, task,
+                         &iu0, &iv0, &uf, &vf, &j, &wr);
+            if (j < 0 || j >= num_planes_t[task]) bad += 1;
+            const int64_t b =
+                (task * num_slabs + j) * num_octets + (iu0 >> 3);
+            bucket[e] = b;
+            t_counts[tid][b] += 1;
+        }
+    }
+    for (int t = 0; t < num_threads; ++t)
+        for (int64_t i = 0; i < num_buckets; ++i)
+            counts[i] += t_counts[t][i];
+    return bad;
+}
+
+// Pass 2: stable placement into the padded stream + tap table lookups.
+// pad_off: [num_buckets] start offsets of each padded bucket;
+// uv_table: [ov+1, support] f64; w_table: [w_ov+1, w_support] f64.
+// Output arrays are caller-zeroed with length `total`.
+void sdp_tpu_packed_fill(
+    const double* uvw, int64_t num_rows,
+    double freq0_hz, double dfreq_hz, int64_t num_chan,
+    double eff_sg_dist, double theta, double w_step, double height,
+    int64_t ov, int64_t w_ov, int64_t sgs, int64_t support,
+    int64_t w_support,
+    const int64_t* task_id, const int64_t* first_t,
+    const int64_t* off_w_t,
+    const int64_t* bucket, const int64_t* pad_off,
+    int64_t num_buckets,
+    const double* uv_table, const double* w_table,
+    int64_t* sort_index, uint8_t* valid,
+    int32_t* u_off, int32_t* iv0_out,
+    float* uk, float* vk, float* wk)
+{
+    const PackedGeom g{freq0_hz, dfreq_hz, eff_sg_dist, theta, w_step,
+                       height, num_chan, ov, w_ov, sgs, support,
+                       w_support};
+    std::vector<int64_t> cursor(pad_off, pad_off + num_buckets);
+    const int64_t num_vis = num_rows * num_chan;
+    // Sequential stable placement (matches numpy's stable argsort).
+    for (int64_t e = 0; e < num_vis; ++e)
+    {
+        const int64_t dest = cursor[bucket[e]]++;
+        sort_index[dest] = e;
+        valid[dest] = 1;
+    }
+    // Parallel geometry + table fill over destinations.
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < num_buckets; ++b)
+    {
+        for (int64_t dest = pad_off[b]; dest < cursor[b]; ++dest)
+        {
+            const int64_t e = sort_index[dest];
+            const int64_t r = e / num_chan, c = e % num_chan;
+            const int64_t task = task_id[e];
+            int64_t iu0, iv0, uf, vf, j, wr;
+            packed_entry(g, uvw, r, c, first_t, off_w_t, task,
+                         &iu0, &iv0, &uf, &vf, &j, &wr);
+            u_off[dest] = (int32_t)(iu0 & 7);
+            iv0_out[dest] = (int32_t)iv0;
+            for (int64_t s = 0; s < support; ++s)
+            {
+                uk[dest * support + s] =
+                    (float)uv_table[uf * support + s];
+                vk[dest * support + s] =
+                    (float)uv_table[vf * support + s];
+            }
+            for (int64_t s = 0; s < w_support; ++s)
+                wk[dest * w_support + s] =
+                    (float)w_table[wr * w_support + s];
+        }
+    }
+}
+
 // Stable argsort of rows by their w coordinate — the host-side bucket
 // sort that gives the device kernels w-locality (the TPU analogue of
 // sdp_tiled_functions' GPU bucket sort).

@@ -182,75 +182,94 @@ def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
     num_slabs = num_layers - w_support + 1
     num_octets = sgs // 8
 
-    # Per-entry tap geometry relative to its own task (host = single
-    # source of truth; formulas mirror sdp_gridder_wtower_uvw.cpp:126-142
-    # via the device path in grid_data/wtower.py).
-    half_ov = (sgs // 2 - support // 2 + 1) * ov
-    u_rel = u - biu * d
-    v_rel = v - biv * d
-    iu0_ov = _round_half_away_np(u_rel * (theta * ov)).astype(np.int64) \
-        + half_ov
-    iv0_ov = _round_half_away_np(v_rel * (theta * ov)).astype(np.int64) \
-        + half_ov
-    iu0 = np.clip(iu0_ov // ov, 0, sgs - support)
-    iv0 = np.clip(iv0_ov // ov, 0, sgs - support)
-    u_frac = np.mod(iu0_ov, ov)
-    v_frac = np.mod(iv0_ov, ov)
-
-    w_rel = w - off_w_t[task_id] * w_step
-    j = np.floor(w_rel / w_step).astype(np.int64) + 1 - first_t[task_id]
-    w_rel2 = w_rel - (first_t[task_id] + j - 1) * w_step
-    w_row = np.mod(
-        _round_half_away_np(w_rel2 * (w_ov / w_step)).astype(np.int64),
-        w_ov)
-
-    bad = (j < 0) | (j >= num_planes_t[task_id])
-    if bad.any():
-        # The invariant of sdp_grid_wstack_wtower.cpp:442-448: every
-        # visibility must land in a planned slab.
-        raise SdpRuntimeError(
-            f"packed plan: {int(bad.sum())} of {num_vis} visibilities "
-            "fall outside their task's w-tower range")
-
     kernel = wplan.kernel()
-    uk = kernel.uv_kernel[u_frac].astype(np.float32)     # [V, S]
-    vk = kernel.uv_kernel[v_frac].astype(np.float32)
-    wk = kernel.w_kernel[w_row].astype(np.float32)       # [V, Sw]
-
-    octet = (iu0 >> 3).astype(np.int64)
-    u_off = (iu0 & 7).astype(np.int32)
-    bucket = (task_id * num_slabs + j) * num_octets + octet
     num_buckets = num_tasks * num_slabs * num_octets
 
-    counts = np.bincount(bucket, minlength=num_buckets)
-    padded = -(-counts // block_v) * block_v            # 0 stays 0
-    pad_off = np.zeros(num_buckets + 1, np.int64)
-    np.cumsum(padded, out=pad_off[1:])
-    total = int(pad_off[-1])
+    # Native C++/OpenMP two-pass planner (geometry + bucket counting +
+    # stable placement + tap table fills); NumPy fallback below.
+    from .. import native as native_runtime
+
+    nat = native_runtime.packed_plan_arrays(
+        uvw, freq0, dfreq, num_chan, d, theta, w_step, height, ov,
+        w_ov, sgs, support, w_support, task_id, first_t, off_w_t,
+        num_planes_t, num_slabs, num_octets, block_v,
+        kernel.uv_kernel, kernel.w_kernel)
+    if nat is not None:
+        sort_index, valid = nat["sort_index"], nat["valid"]
+        u_off_s, iv0_s = nat["u_off"], nat["iv0"]
+        uk_s, vk_s, wk_s = nat["uk"], nat["vk"], nat["wk"]
+        counts, padded, total = nat["counts"], nat["padded"], \
+            nat["total"]
+        num_blocks = total // block_v
+    else:
+        # Per-entry tap geometry relative to its own task (host =
+        # single source of truth; formulas mirror
+        # sdp_gridder_wtower_uvw.cpp:126-142 via grid_data/wtower.py).
+        half_ov = (sgs // 2 - support // 2 + 1) * ov
+        u_rel = u - biu * d
+        v_rel = v - biv * d
+        iu0_ov = _round_half_away_np(
+            u_rel * (theta * ov)).astype(np.int64) + half_ov
+        iv0_ov = _round_half_away_np(
+            v_rel * (theta * ov)).astype(np.int64) + half_ov
+        iu0 = np.clip(iu0_ov // ov, 0, sgs - support)
+        iv0 = np.clip(iv0_ov // ov, 0, sgs - support)
+        u_frac = np.mod(iu0_ov, ov)
+        v_frac = np.mod(iv0_ov, ov)
+
+        w_rel = w - off_w_t[task_id] * w_step
+        j = np.floor(w_rel / w_step).astype(np.int64) + 1 \
+            - first_t[task_id]
+        w_rel2 = w_rel - (first_t[task_id] + j - 1) * w_step
+        w_row = np.mod(
+            _round_half_away_np(
+                w_rel2 * (w_ov / w_step)).astype(np.int64), w_ov)
+
+        bad = (j < 0) | (j >= num_planes_t[task_id])
+        if bad.any():
+            # The invariant of sdp_grid_wstack_wtower.cpp:442-448:
+            # every visibility must land in a planned slab.
+            raise SdpRuntimeError(
+                f"packed plan: {int(bad.sum())} of {num_vis} "
+                "visibilities fall outside their task's w-tower range")
+
+        uk = kernel.uv_kernel[u_frac].astype(np.float32)     # [V, S]
+        vk = kernel.uv_kernel[v_frac].astype(np.float32)
+        wk = kernel.w_kernel[w_row].astype(np.float32)       # [V, Sw]
+
+        octet = (iu0 >> 3).astype(np.int64)
+        u_off = (iu0 & 7).astype(np.int32)
+        bucket = (task_id * num_slabs + j) * num_octets + octet
+
+        counts = np.bincount(bucket, minlength=num_buckets)
+        padded = -(-counts // block_v) * block_v            # 0 stays 0
+        pad_off = np.zeros(num_buckets + 1, np.int64)
+        np.cumsum(padded, out=pad_off[1:])
+        total = int(pad_off[-1])
+
+        order = np.argsort(bucket, kind="stable")
+        sstart = np.zeros(num_buckets, np.int64)
+        np.cumsum(counts[:-1], out=sstart[1:])
+        rank = np.arange(num_vis) - sstart[bucket[order]]
+        dest = pad_off[bucket[order]] + rank
+
+        sort_index = np.zeros(total, np.int64)
+        valid = np.zeros(total, bool)
+        sort_index[dest] = order
+        valid[dest] = True
+
+        def scatter(x, fill=0):
+            out = np.full((total,) + x.shape[1:], fill, x.dtype)
+            out[dest] = x[order]
+            return out
+
+        u_off_s = scatter(u_off)
+        iv0_s = scatter(iv0.astype(np.int32))
+        uk_s = scatter(uk)
+        vk_s = scatter(vk)
+        wk_s = scatter(wk)
+        wk_s[~valid] = 0.0
     num_blocks = total // block_v
-
-    order = np.argsort(bucket, kind="stable")
-    sstart = np.zeros(num_buckets, np.int64)
-    np.cumsum(counts[:-1], out=sstart[1:])
-    rank = np.arange(num_vis) - sstart[bucket[order]]
-    dest = pad_off[bucket[order]] + rank
-
-    sort_index = np.zeros(total, np.int64)
-    valid = np.zeros(total, bool)
-    sort_index[dest] = order
-    valid[dest] = True
-
-    def scatter(x, fill=0):
-        out = np.full((total,) + x.shape[1:], fill, x.dtype)
-        out[dest] = x[order]
-        return out
-
-    u_off_s = scatter(u_off)
-    iv0_s = scatter(iv0.astype(np.int32))
-    uk_s = scatter(uk)
-    vk_s = scatter(vk)
-    wk_s = scatter(wk)
-    wk_s[~valid] = 0.0
 
     nonzero = np.nonzero(padded)[0]
     block_bucket = np.repeat(nonzero,

@@ -196,3 +196,23 @@ def test_report_timing_stages(scenario):
     assert len(stages) == 4
     assert all(t >= 0.0 for t in stages.values())
     assert any("packed kernel" in ln for ln in lines)
+
+
+def test_native_planner_matches_numpy(scenario, monkeypatch):
+    """The C++ two-pass packed planner produces byte-identical arrays
+    to the NumPy fallback (same stable bucket order, same f32 taps)."""
+    from ska_sdp_func_tpu import native
+
+    s = scenario
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    plan_native = plan_packed(s["plan"], s["uvw"], block_v=128)
+    monkeypatch.setattr(native, "packed_plan_arrays",
+                        lambda *a, **k: None)
+    plan_numpy = plan_packed(s["plan"], s["uvw"], block_v=128)
+    assert plan_native.total == plan_numpy.total
+    for name in ("sort_index", "valid", "u_off", "iv0", "uk", "vk",
+                 "wk", "block_bucket", "visited"):
+        np.testing.assert_array_equal(plan_native.arrays[name],
+                                      plan_numpy.arrays[name], err_msg=name)
+    assert plan_native.digest == plan_numpy.digest
