@@ -48,17 +48,26 @@ def _make_scale_kernels(scales: np.ndarray, length: int,
 @partial(jax.jit, static_argnames=("cycle_limit",))
 def _ms_minor_cycle(scaled_residuals: Array, scaled_psfs: Array,
                     scale_kernels: Array, coupling: Array, loop_gain,
-                    threshold, cycle_limit: int):
+                    threshold, cycle_limit: int, scale_bias=None):
     """On-chip multi-scale minor cycle.
 
     scaled_residuals: [S, N, N] real; scaled_psfs: [S, S, P, P] real
     (indexed [target_scale, peak_scale]); scale_kernels: [S, P, P] real.
+    ``scale_bias`` (optional [S] vector) multiplies the per-scale
+    SELECTION score only (Cornwell 2008's small-scale bias: without it
+    point sources over-attribute flux to large scales); the subtracted
+    gain stays the unbiased coupling-corrected peak, so None reproduces
+    the reference exactly (sdp_ms_clean_cornwell.cpp:569-648).
     Returns (scaled_residuals, clean_components).
     """
     num_scales, size, _ = scaled_residuals.shape
     loop_gain = jnp.asarray(loop_gain, scaled_residuals.dtype)
     threshold = jnp.asarray(threshold, scaled_residuals.dtype)
     diag = jnp.diagonal(coupling)
+    if scale_bias is None:
+        sel_bias = jnp.ones((num_scales,), scaled_residuals.dtype)
+    else:
+        sel_bias = jnp.asarray(scale_bias, scaled_residuals.dtype)
 
     def peaks(residuals):
         flat = residuals.reshape(num_scales, -1)
@@ -74,8 +83,7 @@ def _ms_minor_cycle(scaled_residuals: Array, scaled_psfs: Array,
     def cond(state):
         residuals, _, cycle = state
         peak, idx = peaks(residuals)
-        biased = peak / diag
-        max_scale = jnp.argmax(biased)
+        max_scale = jnp.argmax((peak / diag) * sel_bias)
         unbiased = peak[max_scale]
         return jnp.logical_and(cycle < cycle_limit, unbiased >= threshold)
 
@@ -83,7 +91,7 @@ def _ms_minor_cycle(scaled_residuals: Array, scaled_psfs: Array,
         residuals, model, cycle = state
         peak, idx = peaks(residuals)
         biased = peak / diag
-        max_scale = jnp.argmax(biased)
+        max_scale = jnp.argmax(biased * sel_bias)
         max_biased = biased[max_scale]
         flat_idx = idx[max_scale]
         x = flat_idx // size

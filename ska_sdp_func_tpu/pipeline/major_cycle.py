@@ -234,6 +234,7 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        weights: Optional[Array] = None,
                        clean_algorithm: str = "hogbom",
                        scale_list: Tuple[int, ...] = (0, 8, 16),
+                       ms_scale_bias: float = 0.6,
                        bucketed: bool = False) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
@@ -335,7 +336,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
 
     if clean_algorithm == "msclean":
         minor = _make_msclean_minor(psf, tuple(int(s) for s in scale_list),
-                                    float(loop_gain), int(cycle_limit))
+                                    float(loop_gain), int(cycle_limit),
+                                    float(ms_scale_bias))
     elif clean_algorithm == "hogbom":
         minor = lambda dirty, stop: _minor_cycle(
             dirty, psf, float(loop_gain), stop, int(cycle_limit))
@@ -417,7 +419,8 @@ def _restore(model, cbeam, residual_img):
 
 
 def _make_msclean_minor(psf: Array, scales: Tuple[int, ...],
-                        loop_gain: float, cycle_limit: int):
+                        loop_gain: float, cycle_limit: int,
+                        scale_bias: float = 0.6):
     """Multi-scale minor cycle closure: precompute scale kernels,
     doubly-convolved PSFs and the coupling matrix once per (psf,
     scales); per major cycle only the dirty-image scale convolutions
@@ -431,6 +434,12 @@ def _make_msclean_minor(psf: Array, scales: Tuple[int, ...],
     psf_dim = psf.shape[0]
     scale_kernels = _make_scale_kernels(np.asarray(scales, np.int64),
                                         psf_dim, rdtype)
+    # Cornwell 2008 small-scale selection bias: 1 - 0.6 s/s_max keeps
+    # point sources from over-attributing flux to the largest scale.
+    s_arr = np.asarray(scales, np.float64)
+    s_max = s_arr.max() if s_arr.max() > 0 else 1.0
+    bias_vec = np.asarray(1.0 - scale_bias * s_arr / s_max, np.float64) \
+        if scale_bias else None
 
     def _conv(a, b):
         # Even-size 'same' convolution (scipy/reference convention)
@@ -463,7 +472,7 @@ def _make_msclean_minor(psf: Array, scales: Tuple[int, ...],
             for s in range(len(scales))]).astype(rdtype)
         residuals, model = _ms_minor_cycle(
             scaled_residuals, scaled_psfs, scale_kernels, coupling,
-            loop_gain, stop, cycle_limit)
+            loop_gain, stop, cycle_limit, scale_bias=bias_vec)
         return model, residuals[0]
 
     return minor

@@ -210,3 +210,34 @@ def test_ms_clean_cornwell_matches_oracle(clean_data):
     np.testing.assert_array_almost_equal(np.asarray(residual), residual_ref,
                                          decimal=6)
     np.testing.assert_array_almost_equal(np.asarray(sky), sky_ref, decimal=6)
+
+
+def test_msclean_scale_bias_fixes_point_source_flux():
+    """Cornwell 2008 small-scale selection bias: for a point source with
+    large scales available, the biased minor cycle attributes flux to
+    scale 0 instead of smearing it over the largest scale (ROADMAP
+    round-1 item; the reference-faithful ms_clean_cornwell keeps the
+    unbiased selection)."""
+    from ska_sdp_func_tpu.clean.hogbom import create_cbeam
+    from ska_sdp_func_tpu.pipeline.major_cycle import _make_msclean_minor
+
+    size = 128
+    psf = np.asarray(create_cbeam(
+        jnp.asarray([3.0, 3.0, 0.0, 2 * size], jnp.float64), 2 * size))
+    psf = psf / psf.max()
+    x0, y0 = 70, 58
+    dirty = psf[size - x0:2 * size - x0, size - y0:2 * size - y0].copy()
+
+    results = {}
+    for bias in (0.0, 0.6):
+        minor = _make_msclean_minor(jnp.asarray(psf), (0, 8, 32), 0.1,
+                                    200, bias)
+        model, resid = minor(jnp.asarray(dirty), jnp.asarray(0.05))
+        m = np.asarray(model)
+        results[bias] = (m[x0, y0], m.sum(),
+                         float(np.abs(np.asarray(resid)).max()))
+
+    # Biased run: flux concentrated at the point, total near truth (1).
+    assert results[0.6][0] > 2 * results[0.0][0]
+    assert abs(results[0.6][1] - 1.0) < abs(results[0.0][1] - 1.0)
+    assert results[0.6][2] < results[0.0][2]
