@@ -65,7 +65,7 @@ def main():
     plan = plan_wstack(uvw, freq0, dfreq, CHANS, IMAGE, SUBGRID, THETA,
                        W_STEP, support=8, w_support=4,
                        w_tower_height=HEIGHT)
-    pplan = plan_packed(plan, uvw, block_v=128)
+    pplan = plan_packed(plan, uvw)          # auto block size
     g = packed_gridder(pplan)
 
     vre0, vim0 = g.sort(device_put(vis))
@@ -143,6 +143,29 @@ def main():
         g.report_timing(vre0, vim0,
                         print_fn=lambda s: print(s, file=sys.stderr))
 
+    # ---- dense-stream scenario (SKA-density, 4.2M vis) -------------
+    chans_d = 256
+    vis_d = (rng.standard_normal((ROWS, chans_d))
+             + 1j * rng.standard_normal((ROWS, chans_d))
+             ).astype(np.complex64)
+    nvis_d = ROWS * chans_d
+    plan_d = plan_wstack(uvw, freq0, C_0 / (100 * chans_d), chans_d,
+                         IMAGE, SUBGRID, THETA, W_STEP, support=8,
+                         w_support=4, w_tower_height=HEIGHT)
+    pplan_d = plan_packed(plan_d, uvw)
+    gd = packed_gridder(pplan_d)
+    dre, dim = gd.sort(device_put(vis_d))
+    img_d = gd.grid_sorted(dre, dim)
+    _ = float(red(img_d))
+    for _loop in range(2):
+        t0 = time.perf_counter()
+        for _i in range(10):
+            img_d = gd.grid_sorted(dre, dim)
+            dre = fb(dre, red(img_d))
+        _ = float(red(img_d))
+        dense_dt = (time.perf_counter() - t0) / 10
+    dense_mvis = nvis_d / dense_dt / 1e6
+
     print(json.dumps({
         "metric": "gridding_throughput",
         "value": round(grid_mvis, 3),
@@ -153,6 +176,9 @@ def main():
                        num_vis / 1e6),
         "degrid_mvis_s": round(degrid_mvis, 3),
         "major_cycle_iters_s": round(1.0 / mc_dt, 3),
+        "dense_grid_mvis_s": round(dense_mvis, 3),
+        "dense_scenario": "whole-image 512^2, %.2gM vis, block %d"
+                          % (nvis_d / 1e6, pplan_d.block_v),
     }))
 
 

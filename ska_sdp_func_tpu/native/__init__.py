@@ -263,6 +263,10 @@ def packed_plan_arrays(uvw, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
             f"packed plan: {int(bad)} of {num_vis} visibilities fall "
             "outside their task's w-tower range")
 
+    if block_v is None:
+        from ..parallel.packed import _auto_block_v
+
+        block_v = _auto_block_v(counts)
     padded = -(-counts // block_v) * block_v
     pad_off = np.zeros(num_buckets + 1, np.int64)
     np.cumsum(padded, out=pad_off[1:])
@@ -285,7 +289,8 @@ def packed_plan_arrays(uvw, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
         sort_index, valid, u_off, iv0, uk, vk, wk)
     return dict(sort_index=sort_index, valid=valid.astype(bool),
                 u_off=u_off, iv0=iv0, uk=uk, vk=vk, wk=wk,
-                counts=counts, padded=padded, total=total)
+                counts=counts, padded=padded, total=total,
+                block_v=block_v)
 
 
 def sort_rows_by_w(uvw) -> np.ndarray:

@@ -101,7 +101,24 @@ def _round_half_away_np(x):
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
 
-def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
+# Per-block fixed kernel cost expressed in visibility-equivalents
+# (measured ~130 ns/block vs ~4.3 ns/vis steady-state): block size
+# auto-selection minimises padded_total + this * num_blocks.
+_BLOCK_OVERHEAD_VIS = 30
+_BLOCK_CANDIDATES = (128, 256)
+
+
+def _auto_block_v(counts: np.ndarray) -> int:
+    best, best_cost = _BLOCK_CANDIDATES[0], None
+    for bv in _BLOCK_CANDIDATES:
+        padded = int((-(-counts // bv) * bv).sum())
+        cost = padded + _BLOCK_OVERHEAD_VIS * (padded // bv)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = bv, cost
+    return best
+
+
+def plan_packed(wplan: WStackPlan, uvw, block_v=None,
                 pad_blocks_to: int = 1) -> PackedPlan:
     """Build the packed ingest plan on the host (NumPy, f64).
 
@@ -109,7 +126,10 @@ def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
     assignment (so no visibility can ever be dropped — the plan and
     the assignment are the same arithmetic), bucket-sorts by
     (task, w-slab, u-octet) and precomputes all kernel taps by table
-    lookup.
+    lookup. ``block_v=None`` picks the kernel block size from the
+    bucket-occupancy histogram (128 for sparse streams, 256 when the
+    padding it costs is cheaper than the per-block overhead — dense
+    4M-vis streams measure 200 -> 256 Mvis/s).
     """
     support, w_support = wplan.support, wplan.w_support
     sgs = wplan.subgrid_size
@@ -200,6 +220,7 @@ def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
         uk_s, vk_s, wk_s = nat["uk"], nat["vk"], nat["wk"]
         counts, padded, total = nat["counts"], nat["padded"], \
             nat["total"]
+        block_v = nat["block_v"]
         num_blocks = total // block_v
     else:
         # Per-entry tap geometry relative to its own task (host =
@@ -242,6 +263,8 @@ def plan_packed(wplan: WStackPlan, uvw, block_v: int = 128,
         bucket = (task_id * num_slabs + j) * num_octets + octet
 
         counts = np.bincount(bucket, minlength=num_buckets)
+        if block_v is None:
+            block_v = _auto_block_v(counts)
         padded = -(-counts // block_v) * block_v            # 0 stays 0
         pad_off = np.zeros(num_buckets + 1, np.int64)
         np.cumsum(padded, out=pad_off[1:])

@@ -234,7 +234,7 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        weights: Optional[Array] = None,
                        clean_algorithm: str = "hogbom",
                        scale_list: Tuple[int, ...] = (0, 8, 16),
-                       ms_scale_bias: float = 0.6,
+                       ms_scale_bias: float = 0.0,
                        bucketed: bool = False) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
@@ -255,6 +255,11 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     (w-plane, sub-grid) task once and grids/degrids each task's own
     slice — O(V) instead of O(tasks x V); the f32 production ingest
     path (see :mod:`ska_sdp_func_tpu.parallel.bucketed`).
+
+    ``ms_scale_bias``: Cornwell 2008 small-scale selection bias for
+    the msclean minor cycle (0 = reference-faithful unbiased selection,
+    the default; ~0.6 concentrates point-source flux at small scales
+    at a small cost in extended-emission flux).
 
     ``clean_algorithm``: "hogbom" (default) or "msclean" (multi-scale
     Cornwell minor cycles over ``scale_list``; converges like Hogbom on
@@ -420,7 +425,7 @@ def _restore(model, cbeam, residual_img):
 
 def _make_msclean_minor(psf: Array, scales: Tuple[int, ...],
                         loop_gain: float, cycle_limit: int,
-                        scale_bias: float = 0.6):
+                        scale_bias: float = 0.0):
     """Multi-scale minor cycle closure: precompute scale kernels,
     doubly-convolved PSFs and the coupling matrix once per (psf,
     scales); per major cycle only the dirty-image scale convolutions
