@@ -216,3 +216,48 @@ def test_native_planner_matches_numpy(scenario, monkeypatch):
         np.testing.assert_array_equal(plan_native.arrays[name],
                                       plan_numpy.arrays[name], err_msg=name)
     assert plan_native.digest == plan_numpy.digest
+
+
+def test_boundary_tie_assignment_parity():
+    """Adversarial uvws exactly on sub-grid/w-slab box edges.
+
+    The packed planner's floor-based assignment and the task drivers'
+    channel-clamp intervals may route an exact-tie row to either of the
+    two adjacent boxes (the reference's clamp flips the half-open side
+    when the channel ramp du < 0 — sdp_gridder_clamp_channels.h:100-178
+    keeps adjacent boxes non-overlapping with ceil on both bounds).
+    Both partitions are complete, so the invariant is: nothing dropped,
+    and the GRIDDED IMAGES agree wherever the tie row lands.
+    """
+    num_chan = 2
+    freq0, dfreq = C_0, 1e6
+    plan0 = plan_wstack(np.zeros((1, 3)), freq0, dfreq, num_chan,
+                        IMAGE_SIZE, **PARAMS)
+    d = plan0.eff_sg_dist
+    wd = plan0.w_stack_dist
+    eps = 1e-9
+    us = [0.0, d / 2, -d / 2, d / 2 - eps, d / 2 + eps, d]
+    ws = [0.0, wd / 2, wd / 2 - eps, -wd / 2]
+    uvw = np.asarray([[u, v, w] for u in us for v in us[:3]
+                      for w in ws])
+    rng = np.random.default_rng(9)
+    vis = (rng.standard_normal((uvw.shape[0], num_chan))
+           + 1j * rng.standard_normal((uvw.shape[0], num_chan))
+           ).astype(np.complex64)
+
+    plan = plan_wstack(uvw, freq0, dfreq, num_chan, IMAGE_SIZE, **PARAMS)
+    pplan = plan_packed(plan, uvw)
+    # Nothing dropped: the processed-vis invariant holds on exact ties.
+    assert int(pplan.arrays["valid"].sum()) == uvw.shape[0] * num_chan
+
+    img_p = grid_all_packed(pplan, jnp.asarray(vis))
+    n = uvw.shape[0]
+    st = jnp.zeros((n,), jnp.int32)
+    en = jnp.full((n,), num_chan, jnp.int32)
+    img_r = grid_all_tasks(plan, plan.kernel(), jnp.asarray(vis),
+                           jnp.asarray(uvw), st, en).real
+    b = 24
+    scale = float(np.abs(np.asarray(img_r)[b:-b, b:-b]).max())
+    np.testing.assert_allclose(
+        np.asarray(img_p)[b:-b, b:-b], np.asarray(img_r)[b:-b, b:-b],
+        atol=5e-4 * scale)
