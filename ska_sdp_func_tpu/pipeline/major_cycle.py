@@ -283,22 +283,28 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     bucket = None
     packed = None
     if bucketed:
-        if mesh is not None:
-            raise ValueError("bucketed=True is the single-chip path")
         # Prefer the round-2 packed ingest (one kernel pass over all
         # tasks, sorted-stream residuals); geometries it cannot express
         # (subgrid % 128 != 0, support > 8) fall back to the round-1
-        # bucketed per-task path.
+        # bucketed per-task path. With ``mesh`` the packed block stream
+        # is sharded across the devices (psum image reduction).
         from ..utility.errors import SdpInvalidArgumentError
 
         try:
             from ..parallel.packed import packed_gridder, plan_packed
 
-            pplan = plan_packed(plan, np.asarray(uvw))
-            psf_pplan = plan_packed(psf_plan, np.asarray(uvw))
+            pad_to = int(mesh.devices.size) if mesh is not None else 1
+            pplan = plan_packed(plan, np.asarray(uvw),
+                                pad_blocks_to=pad_to)
+            psf_pplan = plan_packed(psf_plan, np.asarray(uvw),
+                                    pad_blocks_to=pad_to)
             packed = (packed_gridder(pplan), packed_gridder(psf_pplan))
         except SdpInvalidArgumentError:
             packed = None
+        if packed is None and mesh is not None:
+            raise ValueError(
+                "bucketed=True with mesh requires a packed-compatible "
+                "geometry (subgrid_size % 128 == 0, support <= 8)")
     if bucketed and packed is None:
         from ..parallel.bucketed import (
             inverse_index_of,
@@ -326,7 +332,10 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     vis_sorted = None
     if packed is not None:
         gri, psf_gri = packed
-        psf = psf_gri.grid(psf_vis)
+        if mesh is not None:
+            psf = psf_gri.grid_sharded(psf_vis, mesh)
+        else:
+            psf = psf_gri.grid(psf_vis)
         vis_sorted = gri.sort(vis)           # (re, im) f32 streams
         if weights is not None:
             w_sorted = gri.sort(weights.astype(vis.dtype))[0]
@@ -368,11 +377,17 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
             # Sorted-stream residual: no per-iteration permutation
             # gathers — degrid, subtract and grid all stay in the
             # plan's bucket order.
-            pred = gri.degrid_sorted(model)
+            if mesh is not None:
+                pred = gri.degrid_sorted_sharded(model, mesh)
+            else:
+                pred = gri.degrid_sorted(model)
             res_re, res_im = _packed_residual(vis_sorted[0],
                                               vis_sorted[1], pred,
                                               w_sorted)
-            raw = gri.grid_sorted(res_re, res_im)
+            if mesh is not None:
+                raw = gri.grid_sorted_sharded(res_re, res_im, mesh)
+            else:
+                raw = gri.grid_sorted(res_re, res_im)
         else:
             if bucket is not None:
                 pred = _bucketed_degrid(bucket, model, uvw).astype(

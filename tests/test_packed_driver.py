@@ -261,3 +261,28 @@ def test_boundary_tie_assignment_parity():
     np.testing.assert_allclose(
         np.asarray(img_p)[b:-b, b:-b], np.asarray(img_r)[b:-b, b:-b],
         atol=5e-4 * scale)
+
+
+@pytest.mark.slow
+def test_major_cycle_packed_sharded_matches_single(scenario):
+    """bucketed=True + mesh runs the packed block-sharded solver and
+    matches the single-chip packed solve (GPU-vs-CPU pattern)."""
+    from ska_sdp_func_tpu.parallel import make_mesh
+    from ska_sdp_func_tpu.pipeline import major_cycle_imager
+
+    s = scenario
+    img = np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float64)
+    img[IMAGE_SIZE // 2 + 12, IMAGE_SIZE // 2 - 9] = 1.0
+    n = s["uvw"].shape[0]
+    st = jnp.zeros((n,), jnp.int32)
+    en = jnp.full((n,), s["num_chan"], jnp.int32)
+    vis = degrid_all_tasks(s["plan"], s["plan"].kernel(),
+                           jnp.asarray(img, jnp.complex128),
+                           jnp.asarray(s["uvw"]), st, en, jnp.complex64)
+    kwargs = dict(n_major=2, loop_gain=0.2, cycle_limit=100)
+    res_1 = major_cycle_imager(s["plan"], vis, jnp.asarray(s["uvw"]),
+                               bucketed=True, **kwargs)
+    res_8 = major_cycle_imager(s["plan"], vis, jnp.asarray(s["uvw"]),
+                               bucketed=True, mesh=make_mesh(8), **kwargs)
+    np.testing.assert_allclose(np.asarray(res_8.model),
+                               np.asarray(res_1.model), atol=2e-4)
