@@ -255,25 +255,25 @@ def build_es_packed_plan(plan, uvw: np.ndarray, freq: np.ndarray,
 
 
 def _fold_slab(wins, visited_s, gu, gv, sw, rows_pad, lanes_pad):
-    """[gu*gv, 2*sw*16, 256] windows -> [2, sw, rows_pad, lanes_pad]."""
-    w = jnp.where(visited_s[:, None, None], wins,
+    """[2*sw, gu*gv, 16, 256] windows -> [2, sw, rows_pad, lanes_pad]."""
+    w = jnp.where(visited_s[None, :, None, None], wins,
                   jnp.zeros((), wins.dtype))
-    w = w.reshape(gu, gv, 2, sw, WIN_ROWS, 2, 128)
+    w = w.reshape(2, sw, gu, gv, WIN_ROWS, 2, 128)
     # u axis: rows >= 8 belong to octet gu+1.
-    out_u = jnp.zeros((gu + 1, gv, 2, sw, 8, 2, 128), jnp.float32)
-    out_u = out_u.at[:gu].add(w[:, :, :, :, :8])
-    out_u = out_u.at[1:].add(w[:, :, :, :, 8:])
+    out_u = jnp.zeros((2, sw, gu + 1, gv, 8, 2, 128), jnp.float32)
+    out_u = out_u.at[:, :, :gu].add(w[:, :, :, :, :8])
+    out_u = out_u.at[:, :, 1:].add(w[:, :, :, :, 8:])
     # v axis: lane half >= 128 belongs to block hv+1.
-    out = jnp.zeros((gu + 1, gv + 1, 2, sw, 8, 128), jnp.float32)
-    out = out.at[:, :gv].add(out_u[..., 0, :])
-    out = out.at[:, 1:].add(out_u[..., 1, :])
+    out = jnp.zeros((2, sw, gu + 1, gv + 1, 8, 128), jnp.float32)
+    out = out.at[:, :, :, :gv].add(out_u[..., 0, :])
+    out = out.at[:, :, :, 1:].add(out_u[..., 1, :])
     # -> [2, sw, rows_pad, lanes_pad]
-    out = jnp.transpose(out, (2, 3, 0, 4, 1, 5))
+    out = jnp.moveaxis(out, 4, 3)
     return out.reshape(2, sw, rows_pad, lanes_pad)
 
 
 def _unfold_slab(layers, gu, gv, sw):
-    """[2, sw, rows_pad, lanes_pad] -> [gu*gv, 2*sw*16, 256] windows."""
+    """[2, sw, rows_pad, lanes_pad] -> [2*sw, gu*gv, 16, 256] windows."""
     st = layers.reshape(2, sw, gu + 1, 8, gv + 1, 128)
     low_u = st[:, :, :gu]
     high_u = st[:, :, 1:]
@@ -282,8 +282,8 @@ def _unfold_slab(layers, gu, gv, sw):
     low_v = rows[..., :gv, :]
     high_v = rows[..., 1:, :]
     win = jnp.concatenate([low_v, high_v], axis=5)  # [2,sw,gu,16,gv,256]
-    win = jnp.transpose(win, (2, 4, 0, 1, 3, 5))
-    return win.reshape(gu * gv, 2 * sw * WIN_ROWS, _LANES)
+    win = jnp.transpose(win, (0, 1, 2, 4, 3, 5))
+    return win.reshape(2 * sw, gu * gv, WIN_ROWS, _LANES)
 
 
 # ---------------------------------------------------------------------------

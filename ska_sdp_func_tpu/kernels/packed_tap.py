@@ -102,14 +102,18 @@ def _grid_kernel(bucket_ref, ubase_ref, vband_ref, scales_ref, out_ref,
     contrib = jnp.dot(u_all, vband_ref[:],
                       preferred_element_type=jnp.float32,
                       precision=precision)
+    # Window rows regrouped (num_p, 16): the (layer, re/im)-major out
+    # array layout makes the driver-side folds pure reshapes (the
+    # bucket-major layout needed 1.8 GB transposes at 1024^2 scale).
+    contrib = contrib.reshape(num_p, WIN_ROWS, contrib.shape[-1])
 
     @pl.when(first)
     def _():
-        out_ref[0] = contrib
+        out_ref[:, 0] = contrib
 
     @pl.when(jnp.logical_not(first))
     def _():
-        out_ref[0] += contrib
+        out_ref[:, 0] += contrib
 
 
 def _degrid_kernel(bucket_ref, ubt_ref, vband_ref, wk_ref, win_ref,
@@ -121,9 +125,10 @@ def _degrid_kernel(bucket_ref, ubt_ref, vband_ref, wk_ref, win_ref,
     u_w = jnp.concatenate(
         [ubt_ref[:] * wk_ref[:, layer:layer + 1]
          for layer in range(w_support)], axis=1)       # [B, Sw*16]
-    q_re = jnp.dot(u_w, win_ref[0][:half],
+    win = win_ref[:, 0].reshape(2 * half, win_ref.shape[-1])
+    q_re = jnp.dot(u_w, win[:half],
                    preferred_element_type=jnp.float32, precision=precision)
-    q_im = jnp.dot(u_w, win_ref[0][half:2 * half],
+    q_im = jnp.dot(u_w, win[half:2 * half],
                    preferred_element_type=jnp.float32, precision=precision)
     vb = vband_ref[:]
     out_re = jnp.sum(q_re * vb, axis=1, keepdims=True)  # [B, 1]
@@ -149,14 +154,14 @@ def grid_packed_pallas(bucket_ids, ubase, vband, scales,
 
     bucket_ids: [NB] int32; ubase: [16, V]; vband: [V, lanes];
     scales: [2*w_support, V] f32 (w-tap * re/im(vis), zero for padded
-    or invalid entries). Returns [num_buckets, 2*w_support*16, lanes]
-    f32 windows (NaN/garbage in never-visited buckets — mask the fold
-    with the plan's visited mask via ``jnp.where``, not multiply).
+    or invalid entries). Returns [2*w_support, num_buckets, 16, lanes]
+    f32 windows ((layer, re/im)-major so driver folds are reshapes;
+    NaN/garbage in never-visited buckets — mask the fold with the
+    plan's visited mask via ``jnp.where``, not multiply).
     """
     num_p = 2 * w_support
     total = vband.shape[0]
     num_blocks = total // block_v
-    m_rows = num_p * WIN_ROWS
 
     return pl.pallas_call(
         functools.partial(_grid_kernel, num_p=num_p,
@@ -173,15 +178,105 @@ def grid_packed_pallas(bucket_ids, ubase, vband, scales,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, m_rows, lanes), lambda b, ids: (ids[b], 0, 0),
+                (num_p, 1, WIN_ROWS, lanes),
+                lambda b, ids: (0, ids[b], 0, 0),
                 memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((num_buckets, m_rows, lanes),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_p, num_buckets, WIN_ROWS, lanes), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(bucket_ids, ubase, vband, scales)
+
+
+def _fold_groups_kernel(visited_ref, wins_ref, out_ref, *,
+                        num_octets: int):
+    ts = pl.program_id(0)
+    out_ref[:, 0] = jnp.zeros_like(out_ref[:, 0])
+    for g in range(num_octets):
+        keep = visited_ref[ts * num_octets + g] != 0
+
+        @pl.when(keep)
+        def _(g=g):
+            out_ref[:, 0, 8 * g:8 * g + WIN_ROWS, :] += wins_ref[:, g]
+
+
+def _unfold_groups_kernel(layers_ref, win_ref, *, num_octets: int):
+    for g in range(num_octets):
+        win_ref[:, g] = layers_ref[:, 0, 8 * g:8 * g + WIN_ROWS, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_groups", "num_octets", "interpret"))
+def fold_groups_pallas(wins: Array, visited, num_groups: int,
+                       num_octets: int,
+                       interpret: bool = False) -> Array:
+    """Sum each (task, slab) group's octet windows at their 8-row
+    offsets: [num_p, groups*G, 16, L] -> [num_p, groups, 8G+16, L].
+
+    One DMA pass over the window stack; the XLA formulation of this
+    fold materialises several GB-scale intermediates (~17 ms at 1024^2
+    scale vs ~4 ms here). ``visited`` is the plan's int32 mask —
+    unvisited windows hold garbage and are skipped entirely.
+    """
+    num_p, _, _, lanes = wins.shape
+    rows_out = 8 * num_octets + WIN_ROWS
+    return pl.pallas_call(
+        functools.partial(_fold_groups_kernel, num_octets=num_octets),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_groups,),
+            in_specs=[
+                pl.BlockSpec((num_p, num_octets, WIN_ROWS, lanes),
+                             lambda ts, v: (0, ts, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (num_p, 1, rows_out, lanes),
+                lambda ts, v: (0, ts, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_p, num_groups, rows_out, lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(visited, wins)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_groups", "num_octets", "interpret"))
+def unfold_groups_pallas(layers: Array, num_groups: int,
+                         num_octets: int,
+                         interpret: bool = False) -> Array:
+    """Inverse of :func:`fold_groups_pallas` for degridding: cut each
+    octet's 16-row window out of the group's row-padded layer block:
+    [num_p, groups, 8G+16, L] -> [num_p, groups*G, 16, L]."""
+    num_p, _, rows_in, lanes = layers.shape
+    return pl.pallas_call(
+        functools.partial(_unfold_groups_kernel,
+                          num_octets=num_octets),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(num_groups,),
+            in_specs=[
+                pl.BlockSpec((num_p, 1, rows_in, lanes),
+                             lambda ts: (0, ts, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (num_p, num_octets, WIN_ROWS, lanes),
+                lambda ts: (0, ts, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_p, num_groups * num_octets, WIN_ROWS, lanes),
+            jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(layers)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -192,15 +287,15 @@ def degrid_packed_pallas(windows: Array, bucket_ids, ubase_t, vband, wk,
                          interpret: bool = False) -> Array:
     """Packed degridding: window stack -> bucket-sorted visibilities.
 
-    windows: [num_buckets, 2*w_support*16, lanes] f32 (cut out of the
-    FFT'd layer stack by the driver); ubase_t: [V, 16]; vband:
-    [V, lanes]; wk: [V, w_support] f32 (zeroed for padded/invalid
-    entries). Returns [V] complex64 in sorted order.
+    windows: [2*w_support, num_buckets, 16, lanes] f32 (cut out of the
+    FFT'd layer stack by the driver, (layer, re/im)-major); ubase_t:
+    [V, 16]; vband: [V, lanes]; wk: [V, w_support] f32 (zeroed for
+    padded/invalid entries). Returns [V] complex64 in sorted order.
     """
     total = vband.shape[0]
     num_blocks = total // block_v
     lanes = vband.shape[1]
-    m_rows = 2 * w_support * WIN_ROWS
+    num_p = 2 * w_support
 
     out = pl.pallas_call(
         functools.partial(_degrid_kernel, w_support=w_support,
@@ -215,8 +310,8 @@ def degrid_packed_pallas(windows: Array, bucket_ids, ubase_t, vband, wk,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_v, w_support), lambda b, ids: (b, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, m_rows, lanes),
-                             lambda b, ids: (ids[b], 0, 0),
+                pl.BlockSpec((num_p, 1, WIN_ROWS, lanes),
+                             lambda b, ids: (0, ids[b], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(

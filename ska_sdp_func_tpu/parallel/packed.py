@@ -51,7 +51,9 @@ from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
     degrid_packed_pallas,
+    fold_groups_pallas,
     grid_packed_pallas,
+    unfold_groups_pallas,
 )
 from ..utility.constants import C_0
 from ..utility.errors import SdpInvalidArgumentError, SdpRuntimeError
@@ -347,44 +349,40 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
 
 
 def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
-                  w_support, num_layers, size):
-    """[TB, M, size] windows -> [T, Kmax, size, size] complex layers."""
-    w = jnp.where(visited[:, None, None], wins,
-                  jnp.zeros((), wins.dtype))
-    w = w.reshape(num_tasks, num_slabs, num_octets, 2, w_support,
-                  WIN_ROWS, size)
-    low = jnp.moveaxis(w[..., :8, :], 2, 4)    # (T,S,2,Sw,G,8,v)
-    high = jnp.moveaxis(w[..., 8:, :], 2, 4)
-    # High half maps to octet g+1; its g = G-1 slice is provably zero
-    # (iu0 <= size - support), so shift the octet axis by one.
-    high = jnp.pad(high, ((0, 0),) * 4 + ((1, 0), (0, 0), (0, 0)))
-    high = high[:, :, :, :, :num_octets]
-    part = (low + high).reshape(num_tasks, num_slabs, 2, w_support,
-                                size, size)
-    out = jnp.zeros((num_tasks, 2, num_layers, size, size), jnp.float32)
+                  w_support, num_layers, size, interpret):
+    """[2*Sw, TB, 16, size] windows -> [T, Kmax, size, size] complex.
+
+    The octet-offset summation runs in :func:`fold_groups_pallas` (one
+    DMA pass over the window stack — the XLA formulation materialised
+    several GB-scale intermediates, ~17 ms at 1024^2 scale); the layer
+    fold is a handful of aligned slice-adds.
+    """
+    groups = num_tasks * num_slabs
+    folded = fold_groups_pallas(wins, visited.astype(jnp.int32),
+                                groups, num_octets, interpret)
+    # Rows beyond the subgrid (the last octet's high half) are provably
+    # zero (iu0 <= size - support): crop.
+    part = folded[:, :, :size, :].reshape(2, w_support, num_tasks,
+                                          num_slabs, size, size)
+    out = jnp.zeros((2, num_tasks, num_layers, size, size), jnp.float32)
     for layer in range(w_support):
-        out = out.at[:, :, layer:layer + num_slabs].add(
-            jnp.moveaxis(part[:, :, :, layer], 1, 2))
-    return jax.lax.complex(out[:, 0], out[:, 1])
+        out = out.at[:, :, layer:layer + num_slabs].add(part[:, layer])
+    return jax.lax.complex(out[0], out[1])
 
 
 def _unfold_windows(layers, num_tasks, num_slabs, num_octets, w_support,
-                    size):
-    """[T, Kmax, size, size] complex layers -> [TB, M, size] windows."""
+                    size, interpret):
+    """[T, Kmax, size, size] complex -> [2*Sw, TB, 16, size] windows."""
     st = jnp.stack([layers.real.astype(jnp.float32),
-                    layers.imag.astype(jnp.float32)], axis=1)
+                    layers.imag.astype(jnp.float32)])   # (2, T, K, u, v)
     sl = jnp.stack(
         [jax.lax.slice_in_dim(st, layer, layer + num_slabs, axis=2)
-         for layer in range(w_support)], axis=3)   # (T,2,S,Sw,u,v)
-    blocks = sl.reshape(num_tasks, 2, num_slabs, w_support, num_octets,
-                        8, size)
-    high = jnp.concatenate(
-        [blocks[:, :, :, :, 1:],
-         jnp.zeros_like(blocks[:, :, :, :, :1])], axis=4)
-    win = jnp.concatenate([blocks, high], axis=5)  # (T,2,S,Sw,G,16,v)
-    win = jnp.transpose(win, (0, 2, 4, 1, 3, 5, 6))
-    return win.reshape(num_tasks * num_slabs * num_octets,
-                       2 * w_support * WIN_ROWS, size)
+         for layer in range(w_support)], axis=1)   # (2, Sw, T, S, u, v)
+    groups = num_tasks * num_slabs
+    padded = jnp.pad(
+        sl.reshape(2 * w_support, groups, size, size),
+        ((0, 0), (0, 0), (0, WIN_ROWS), (0, 0)))
+    return unfold_groups_pallas(padded, groups, num_octets, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +508,7 @@ class PackedGridder:
         return _fold_windows(wins, visited, len(pplan.tasks),
                              pplan.num_slabs, pplan.num_octets,
                              pplan.wplan.w_support, pplan.num_layers,
-                             pplan.wplan.subgrid_size)
+                             pplan.wplan.subgrid_size, self.interpret)
 
     def _stage_drain(self, layers, ladder, pref):
         layers = ifft_shifted(layers)
@@ -582,7 +580,8 @@ class PackedGridder:
         layers = fft_shifted(
             (subgrids * pref)[:, None, :, :] * ladder[None])
         windows = _unfold_windows(layers, num_tasks, pplan.num_slabs,
-                                  pplan.num_octets, plan.w_support, sgs)
+                                  pplan.num_octets, plan.w_support, sgs,
+                                  self.interpret)
         return degrid_packed_pallas(
             windows, block_bucket, ubase_t, vband, wk, plan.w_support,
             block_v=pplan.block_v, fast=self.fast,

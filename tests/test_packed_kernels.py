@@ -103,21 +103,23 @@ def test_grid_packed_matches_numpy_scatter(setup):
 
     # Fold (mirrors parallel.packed): mask unvisited buckets with
     # where (they hold garbage), split window halves, shift octets.
-    w = np.where(s["visited"][:, None, None], wins, 0.0)
-    w = w.reshape(NUM_SLABS, G, 2, SW, WIN_ROWS, LANES)
+    # Window layout is (layer, re/im)-major: [2*SW, TB, 16, LANES].
+    w = np.where(s["visited"][None, :, None, None], wins, 0.0)
+    w = w.reshape(2, SW, NUM_SLABS, G, WIN_ROWS, LANES)
     folded = np.zeros((2, NUM_K, LANES, LANES))
     for slab in range(NUM_SLABS):
         for g in range(G):
             for ri in range(2):
                 for layer in range(SW):
                     folded[ri, slab + layer, 8 * g:8 * g + 8] += \
-                        w[slab, g, ri, layer, :8]
+                        w[ri, layer, slab, g, :8]
                     if g + 1 < G:
                         folded[ri, slab + layer,
                                8 * (g + 1):8 * (g + 1) + 8] += \
-                            w[slab, g, ri, layer, 8:]
+                            w[ri, layer, slab, g, 8:]
                     else:
-                        assert np.abs(w[slab, g, ri, layer, 8:]).max() == 0
+                        assert np.abs(w[ri, layer, slab, g, 8:]).max() \
+                            == 0
     result = folded[0] + 1j * folded[1]
     err = np.abs(result - oracle).max() / np.abs(oracle).max()
     assert err < 2e-6
@@ -138,8 +140,9 @@ def test_degrid_packed_matches_numpy_gather(setup):
                                s["iu0"][p]:s["iu0"][p] + S,
                                s["iv0"][p]:s["iv0"][p] + S])
 
-    # Window build (mirrors parallel.packed unfold).
-    winarr = np.zeros((NUM_SLABS * G, 2 * SW * WIN_ROWS, LANES),
+    # Window build (mirrors parallel.packed unfold), (layer,
+    # re/im)-major layout [2*SW, TB, 16, LANES].
+    winarr = np.zeros((2 * SW, NUM_SLABS * G, WIN_ROWS, LANES),
                       np.float32)
     for slab in range(NUM_SLABS):
         for g in range(G):
@@ -147,8 +150,7 @@ def test_degrid_packed_matches_numpy_gather(setup):
             for ri, lay in enumerate((layers.real, layers.imag)):
                 for layer in range(SW):
                     nrows = min(WIN_ROWS, LANES - 8 * g)
-                    base = (ri * SW + layer) * WIN_ROWS
-                    winarr[bid, base:base + nrows] = \
+                    winarr[ri * SW + layer, bid, :nrows] = \
                         lay[slab + layer, 8 * g:8 * g + nrows]
 
     _, ubase_t, vband = s["bands"]
