@@ -199,7 +199,15 @@ def _fold_groups_kernel(visited_ref, wins_ref, out_ref, *,
 
         @pl.when(keep)
         def _(g=g):
-            out_ref[:, 0, 8 * g:8 * g + WIN_ROWS, :] += wins_ref[:, g]
+            if g + 1 < num_octets:
+                out_ref[:, 0, 8 * g:8 * g + WIN_ROWS, :] += \
+                    wins_ref[:, g]
+            else:
+                # The last octet's straddle half is provably zero
+                # (iu0 <= size - support): clip so the output is
+                # exactly the subgrid rows (no crop pass).
+                out_ref[:, 0, 8 * g:8 * g + 8, :] += \
+                    wins_ref[:, g, :8, :]
 
 
 def _unfold_groups_kernel(layers_ref, win_ref, *, num_octets: int):
@@ -221,7 +229,7 @@ def fold_groups_pallas(wins: Array, visited, num_groups: int,
     unvisited windows hold garbage and are skipped entirely.
     """
     num_p, _, _, lanes = wins.shape
-    rows_out = 8 * num_octets + WIN_ROWS
+    rows_out = 8 * num_octets
     return pl.pallas_call(
         functools.partial(_fold_groups_kernel, num_octets=num_octets),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -243,6 +251,50 @@ def fold_groups_pallas(wins: Array, visited, num_groups: int,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(visited, wins)
+
+
+def _fold_layers_kernel(part_ref, out_ref, *, w_support: int,
+                        num_slabs: int):
+    out_ref[:, 0] = jnp.zeros_like(out_ref[:, 0])
+    for ri in range(2):
+        for layer in range(w_support):
+            for s in range(num_slabs):
+                out_ref[ri, 0, s + layer] += \
+                    part_ref[ri * w_support + layer, s]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tasks", "num_slabs", "w_support", "num_layers", "interpret"))
+def fold_layers_pallas(part: Array, num_tasks: int, num_slabs: int,
+                       w_support: int, num_layers: int,
+                       interpret: bool = False) -> Array:
+    """Slab -> absolute-layer fold per task: [num_p, T*S, size, L] ->
+    [2, T, Kmax, size, L] (layer k accumulates slabs s = k-l for each
+    of the w_support window offsets l). One DMA pass; the XLA
+    slice-add chain re-read the GB-scale stack per offset."""
+    num_p, _, size, lanes = part.shape
+    return pl.pallas_call(
+        functools.partial(_fold_layers_kernel, w_support=w_support,
+                          num_slabs=num_slabs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(num_tasks,),
+            in_specs=[
+                pl.BlockSpec((num_p, num_slabs, size, lanes),
+                             lambda t: (0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, 1, num_layers, size, lanes),
+                lambda t: (0, t, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (2, num_tasks, num_layers, size, lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(part)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -273,6 +325,59 @@ def unfold_groups_pallas(layers: Array, num_groups: int,
         out_shape=jax.ShapeDtypeStruct(
             (num_p, num_groups * num_octets, WIN_ROWS, lanes),
             jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(layers)
+
+
+def _unfold_tasks_kernel(layers_ref, win_ref, *, num_octets: int,
+                         w_support: int):
+    s = pl.program_id(1)
+    for ri in range(2):
+        for layer in range(w_support):
+            lay = layers_ref[ri, 0, s + layer]        # [rows_pad, L]
+            j = ri * w_support + layer
+            for g in range(num_octets):
+                win_ref[j, g] = lay[8 * g:8 * g + WIN_ROWS, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tasks", "num_slabs", "num_octets", "w_support", "interpret"))
+def unfold_tasks_pallas(layers: Array, num_tasks: int, num_slabs: int,
+                        num_octets: int, w_support: int,
+                        interpret: bool = False) -> Array:
+    """Degrid window build straight from the per-task layer stacks.
+
+    layers: [2, T, K, 8G+8, L] f32 (re/im planes, rows padded by 8 so
+    the last octet's straddle half reads zeros). Each (task, slab)
+    program slices its w_support layers at the slab offset and emits
+    the G octet windows — the task's stack stays cached in VMEM across
+    its slabs, so the stack is DMA'd once per task instead of the
+    GB-scale stack/pad copies the XLA formulation materialised.
+    Returns [2*w_support, T*S*G, 16, L].
+    """
+    _, _, num_layers, rows_pad, lanes = layers.shape
+    num_p = 2 * w_support
+    return pl.pallas_call(
+        functools.partial(_unfold_tasks_kernel, num_octets=num_octets,
+                          w_support=w_support),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(num_tasks, num_slabs),
+            in_specs=[
+                pl.BlockSpec((2, 1, num_layers, rows_pad, lanes),
+                             lambda t, s: (0, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (num_p, num_octets, WIN_ROWS, lanes),
+                lambda t, s: (0, t * pl.num_programs(1) + s, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_p, num_tasks * num_slabs * num_octets, WIN_ROWS,
+             lanes), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,

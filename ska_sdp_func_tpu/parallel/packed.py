@@ -52,8 +52,9 @@ from ..kernels.packed_tap import (
     build_bands,
     degrid_packed_pallas,
     fold_groups_pallas,
+    fold_layers_pallas,
     grid_packed_pallas,
-    unfold_groups_pallas,
+    unfold_tasks_pallas,
 )
 from ..utility.constants import C_0
 from ..utility.errors import SdpInvalidArgumentError, SdpRuntimeError
@@ -358,31 +359,26 @@ def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
     fold is a handful of aligned slice-adds.
     """
     groups = num_tasks * num_slabs
-    folded = fold_groups_pallas(wins, visited.astype(jnp.int32),
-                                groups, num_octets, interpret)
-    # Rows beyond the subgrid (the last octet's high half) are provably
-    # zero (iu0 <= size - support): crop.
-    part = folded[:, :, :size, :].reshape(2, w_support, num_tasks,
-                                          num_slabs, size, size)
-    out = jnp.zeros((2, num_tasks, num_layers, size, size), jnp.float32)
-    for layer in range(w_support):
-        out = out.at[:, :, layer:layer + num_slabs].add(part[:, layer])
+    part = fold_groups_pallas(wins, visited.astype(jnp.int32),
+                              groups, num_octets, interpret)
+    out = fold_layers_pallas(part, num_tasks, num_slabs, w_support,
+                             num_layers, interpret)
     return jax.lax.complex(out[0], out[1])
 
 
 def _unfold_windows(layers, num_tasks, num_slabs, num_octets, w_support,
                     size, interpret):
-    """[T, Kmax, size, size] complex -> [2*Sw, TB, 16, size] windows."""
+    """[T, Kmax, size, size] complex -> [2*Sw, TB, 16, size] windows.
+
+    One Pallas pass slicing each (task, slab)'s windows straight from
+    the task's layer stack (cached in VMEM across slabs); rows padded
+    by 8 so the last octet's straddle half reads zeros.
+    """
     st = jnp.stack([layers.real.astype(jnp.float32),
                     layers.imag.astype(jnp.float32)])   # (2, T, K, u, v)
-    sl = jnp.stack(
-        [jax.lax.slice_in_dim(st, layer, layer + num_slabs, axis=2)
-         for layer in range(w_support)], axis=1)   # (2, Sw, T, S, u, v)
-    groups = num_tasks * num_slabs
-    padded = jnp.pad(
-        sl.reshape(2 * w_support, groups, size, size),
-        ((0, 0), (0, 0), (0, WIN_ROWS), (0, 0)))
-    return unfold_groups_pallas(padded, groups, num_octets, interpret)
+    st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
+    return unfold_tasks_pallas(st, num_tasks, num_slabs, num_octets,
+                               w_support, interpret)
 
 
 # ---------------------------------------------------------------------------
