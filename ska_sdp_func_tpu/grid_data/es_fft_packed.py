@@ -83,7 +83,7 @@ class EsPackedPlan:
         # a user's jit would cache TRACERS and poison later calls.
         if self._dev is None:
             a = self.arrays
-            ubase, ubase_t, vband = build_bands(
+            ubase, vband, vband_t = build_bands(
                 jnp.asarray(a["u_off"]), jnp.asarray(a["iv0_local"]),
                 jnp.asarray(a["uk"]), jnp.asarray(a["vk"]), _LANES)
             self._dev = dict(
@@ -91,9 +91,10 @@ class EsPackedPlan:
                 valid=jnp.asarray(a["valid"]),
                 flip=jnp.asarray(a["flip"]),
                 kw=jnp.asarray(a["kw"]),
+                kw_t=jnp.asarray(np.ascontiguousarray(a["kw"].T)),
                 block_bucket=jnp.asarray(a["block_bucket"]),
                 visited=jnp.asarray(a["visited"]),
-                ubase=ubase, ubase_t=ubase_t, vband=vband)
+                ubase=ubase, vband=vband, vband_t=vband_t)
         return self._dev
 
 
@@ -369,13 +370,13 @@ def degrid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
                                        interpret))
         ep._jits[key] = fn
     return fn(vis, dirty_image, dev["sort_index"], dev["valid"],
-              dev["flip"], dev["kw"], dev["block_bucket"],
-              dev["ubase_t"], dev["vband"], dev["screens_degrid"],
+              dev["flip"], dev["kw_t"], dev["block_bucket"],
+              dev["ubase"], dev["vband_t"], dev["screens_degrid"],
               dev["correction"])
 
 
 def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
-                    valid, flip, kw, block_bucket, ubase_t, vband,
+                    valid, flip, kw_t, block_bucket, ubase, vband_t,
                     screens, correction):
     from ..fourier_transforms.fft import fft_shifted
     G = plan.grid_size
@@ -405,7 +406,7 @@ def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
         vis_s = degrid_packed_pallas(
             wins,
             jax.lax.slice_in_dim(block_bucket, b0, b1, axis=0),
-            ubase_t[sl], vband[sl], kw[sl],
+            ubase[:, sl], vband_t[:, sl], kw_t[:, sl],
             sw, block_v=bv, interpret=interpret)
         out = jax.lax.dynamic_update_slice(out, vis_s, (b0 * bv,))
 

@@ -430,7 +430,8 @@ class PackedGridder:
         self.block_bucket = jnp.asarray(arrays["block_bucket"])
         self.visited = jnp.asarray(arrays["visited"])
         self.wk = jnp.asarray(arrays["wk"])
-        self.ubase, self.ubase_t, self.vband = build_bands(
+        self.wk_t = jnp.asarray(np.ascontiguousarray(arrays["wk"].T))
+        self.ubase, self.vband, self.vband_t = build_bands(
             jnp.asarray(arrays["u_off"]), jnp.asarray(arrays["iv0"]),
             jnp.asarray(arrays["uk"]), jnp.asarray(arrays["vk"]),
             plan.subgrid_size)
@@ -553,7 +554,7 @@ class PackedGridder:
 
     # -- degrid ---------------------------------------------------------
 
-    def _degrid_impl(self, image, wk, ubase_t, vband, block_bucket,
+    def _degrid_impl(self, image, wk_t, ubase, vband_t, block_bucket,
                      ladder, pref):
         pplan = self.pplan
         plan = pplan.wplan
@@ -579,15 +580,15 @@ class PackedGridder:
                                   pplan.num_octets, plan.w_support, sgs,
                                   self.interpret)
         return degrid_packed_pallas(
-            windows, block_bucket, ubase_t, vband, wk, plan.w_support,
+            windows, block_bucket, ubase, vband_t, wk_t, plan.w_support,
             block_v=pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
     def degrid_sorted(self, image: Array) -> Array:
         """Real/complex image -> sorted-stream complex64 visibilities."""
-        return self._degrid_jit(image, self.wk, self.ubase_t, self.vband,
-                                self.block_bucket, self.ladder_degrid,
-                                self.pref_degrid)
+        return self._degrid_jit(image, self.wk_t, self.ubase,
+                                self.vband_t, self.block_bucket,
+                                self.ladder_degrid, self.pref_degrid)
 
     def degrid(self, image: Array) -> Array:
         """Image -> [rows, chan] complex64 visibilities."""
@@ -733,17 +734,17 @@ class PackedGridder:
         key = ("degrid", self._mesh_key(mesh, axis_name))
         fn = self._sharded_cache.get(key)
         if fn is None:
-            def body(image_r, wk_c, ubt_c, vband_c, bb_c, ladder, pref):
-                return self._degrid_impl(image_r, wk_c, ubt_c, vband_c,
+            def body(image_r, wkt_c, ubase_c, vbt_c, bb_c, ladder, pref):
+                return self._degrid_impl(image_r, wkt_c, ubase_c, vbt_c,
                                          bb_c, ladder, pref)
 
             fn = jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(axis_name), P(axis_name),
-                          P(axis_name), P(axis_name), P(), P()),
+                in_specs=(P(), P(None, axis_name), P(None, axis_name),
+                          P(None, axis_name), P(axis_name), P(), P()),
                 out_specs=P(axis_name), check_vma=False))
             self._sharded_cache[key] = fn
-        return fn(image, self.wk, self.ubase_t, self.vband,
+        return fn(image, self.wk_t, self.ubase, self.vband_t,
                   self.block_bucket, self.ladder_degrid,
                   self.pref_degrid)
 

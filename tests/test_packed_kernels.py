@@ -62,7 +62,7 @@ def setup():
         blk += nb
 
     wk_s = np.where(valid[:, None], wk[idx], 0.0).astype(np.float32)
-    ubase, ubase_t, vband = build_bands(
+    ubase, vband, vband_t = build_bands(
         jnp.asarray((iu0 % 8)[idx].astype(np.int32)),
         jnp.asarray(iv0[idx].astype(np.int32)),
         jnp.asarray(uk[idx]), jnp.asarray(vk[idx]), LANES)
@@ -71,14 +71,16 @@ def setup():
                 block_bucket=block_bucket, total=total,
                 visited=np.isin(np.arange(NUM_SLABS * G),
                                 [c[0] for c in chunks]),
-                bands=(ubase, ubase_t, vband))
+                bands=(ubase, vband, vband_t))
 
 
 def test_band_shapes(setup):
-    ubase, ubase_t, vband = setup["bands"]
+    ubase, vband, vband_t = setup["bands"]
     assert ubase.shape == (WIN_ROWS, setup["total"])
-    assert ubase_t.shape == (setup["total"], WIN_ROWS)
     assert vband.shape == (setup["total"], LANES)
+    assert vband_t.shape == (LANES, setup["total"])
+    np.testing.assert_array_equal(np.asarray(vband_t),
+                                  np.asarray(vband).T)
 
 
 def test_grid_packed_matches_numpy_scatter(setup):
@@ -95,7 +97,7 @@ def test_grid_packed_matches_numpy_scatter(setup):
     vis_s = s["vis"][s["idx"]]
     scales = np.concatenate([s["wk_s"] * vis_s.real[:, None],
                              s["wk_s"] * vis_s.imag[:, None]], axis=1)
-    ubase, _, vband = s["bands"]
+    ubase, vband, _ = s["bands"]
     wins = np.asarray(grid_packed_pallas(
         jnp.asarray(s["block_bucket"]), ubase, vband,
         jnp.asarray(scales.T.copy()), NUM_SLABS * G, LANES, SW,
@@ -153,10 +155,10 @@ def test_degrid_packed_matches_numpy_gather(setup):
                     winarr[ri * SW + layer, bid, :nrows] = \
                         lay[slab + layer, 8 * g:8 * g + nrows]
 
-    _, ubase_t, vband = s["bands"]
+    ubase, _, vband_t = s["bands"]
     vis_out = np.asarray(degrid_packed_pallas(
-        jnp.asarray(winarr), jnp.asarray(s["block_bucket"]), ubase_t,
-        vband, jnp.asarray(s["wk_s"]), SW, block_v=BLOCK,
+        jnp.asarray(winarr), jnp.asarray(s["block_bucket"]), ubase,
+        vband_t, jnp.asarray(s["wk_s"].T.copy()), SW, block_v=BLOCK,
         interpret=True))
     out = np.zeros(s["num"], np.complex64)
     out[s["idx"][s["valid"]]] = vis_out[s["valid"]]
