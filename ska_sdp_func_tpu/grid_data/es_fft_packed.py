@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
-    degrid_packed_pallas,
+    degrid_fused_pallas,
     grid_packed_pallas,
 )
 
@@ -93,6 +93,9 @@ class EsPackedPlan:
                 kw=jnp.asarray(a["kw"]),
                 kw_t=jnp.asarray(np.ascontiguousarray(a["kw"].T)),
                 block_bucket=jnp.asarray(a["block_bucket"]),
+                k_idx=jnp.asarray(a["k_idx"]),
+                g_idx=jnp.asarray(a["g_idx"]),
+                hv_idx=jnp.asarray(a["hv_idx"]),
                 visited=jnp.asarray(a["visited"]),
                 ubase=ubase, vband=vband, vband_t=vband_t)
         return self._dev
@@ -220,6 +223,12 @@ def build_es_packed_plan(plan, uvw: np.ndarray, freq: np.ndarray,
     block_bucket_g = np.repeat(nonzero, padded[nonzero] // block_v)
     # Slab-local bucket ids for the per-slab kernel invocations.
     arrays["block_bucket"] = (block_bucket_g % slab_sz).astype(np.int32)
+    # Per-block (w-slab, u-octet, v-128-block) coordinates for the
+    # fused degrid kernel's window-tile index maps.
+    arrays["k_idx"] = (block_bucket_g // slab_sz).astype(np.int32)
+    arrays["g_idx"] = ((block_bucket_g % slab_sz)
+                       // gv_blocks).astype(np.int32)
+    arrays["hv_idx"] = (block_bucket_g % gv_blocks).astype(np.int32)
     visited = np.zeros((num_slabs, slab_sz), bool)
     visited[np.nonzero(counts)[0] // slab_sz,
             np.nonzero(counts)[0] % slab_sz] = True
@@ -271,20 +280,6 @@ def _fold_slab(wins, visited_s, gu, gv, sw, rows_pad, lanes_pad):
     # -> [2, sw, rows_pad, lanes_pad]
     out = jnp.moveaxis(out, 4, 3)
     return out.reshape(2, sw, rows_pad, lanes_pad)
-
-
-def _unfold_slab(layers, gu, gv, sw):
-    """[2, sw, rows_pad, lanes_pad] -> [2*sw, gu*gv, 16, 256] windows."""
-    st = layers.reshape(2, sw, gu + 1, 8, gv + 1, 128)
-    low_u = st[:, :, :gu]
-    high_u = st[:, :, 1:]
-    # rows: [2, sw, gu, 16, gv+1, 128]
-    rows = jnp.concatenate([low_u, high_u], axis=3)
-    low_v = rows[..., :gv, :]
-    high_v = rows[..., 1:, :]
-    win = jnp.concatenate([low_v, high_v], axis=5)  # [2,sw,gu,16,gv,256]
-    win = jnp.transpose(win, (0, 1, 2, 4, 3, 5))
-    return win.reshape(2 * sw, gu * gv, WIN_ROWS, _LANES)
 
 
 # ---------------------------------------------------------------------------
@@ -370,14 +365,14 @@ def degrid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
                                        interpret))
         ep._jits[key] = fn
     return fn(vis, dirty_image, dev["sort_index"], dev["valid"],
-              dev["flip"], dev["kw_t"], dev["block_bucket"],
-              dev["ubase"], dev["vband_t"], dev["screens_degrid"],
-              dev["correction"])
+              dev["flip"], dev["kw_t"], dev["k_idx"], dev["g_idx"],
+              dev["hv_idx"], dev["ubase"], dev["vband_t"],
+              dev["screens_degrid"], dev["correction"])
 
 
 def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
-                    valid, flip, kw_t, block_bucket, ubase, vband_t,
-                    screens, correction):
+                    valid, flip, kw_t, k_idx, g_idx, hv_idx, ubase,
+                    vband_t, screens, correction):
     from ..fourier_transforms.fft import fft_shifted
     G = plan.grid_size
     size = plan.image_size
@@ -396,19 +391,12 @@ def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
     padded = padded.at[0, :, :G, :G].set(grids.real.astype(jnp.float32))
     padded = padded.at[1, :, :G, :G].set(grids.imag.astype(jnp.float32))
 
-    out = jnp.zeros((ep.total,), jnp.complex64)
-    bv = ep.block_v
-    for s, (b0, b1) in enumerate(ep.slab_blocks):
-        if b1 == b0:
-            continue
-        sl = slice(b0 * bv, b1 * bv)
-        wins = _unfold_slab(padded[:, s:s + sw], ep.gu, ep.gv, sw)
-        vis_s = degrid_packed_pallas(
-            wins,
-            jax.lax.slice_in_dim(block_bucket, b0, b1, axis=0),
-            ubase[:, sl], vband_t[:, sl], kw_t[:, sl],
-            sw, block_v=bv, interpret=interpret)
-        out = jax.lax.dynamic_update_slice(out, vis_s, (b0 * bv,))
+    # One fused kernel over ALL blocks: each bucket's window streams in
+    # as 4*sw aligned tiles of `padded` (no dense window array, no
+    # unfold, no per-slab Python loop).
+    out = degrid_fused_pallas(
+        padded, k_idx, g_idx, hv_idx, ubase, vband_t, kw_t, sw,
+        block_v=ep.block_v, interpret=interpret)
 
     # Undo the w<0 flip (conjugate), unsort, drop pads/clipped.
     out = jnp.where(flip < 0, jnp.conj(out), out)

@@ -119,8 +119,8 @@ def _grid_kernel(bucket_ref, ubase_ref, vband_ref, scales_ref, out_ref,
         out_ref[:, 0] += contrib
 
 
-def _degrid_kernel(bucket_ref, ubase_ref, vbt_ref, wkt_ref, win_ref,
-                   out_ref, *, w_support: int, precision):
+def _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
+                 w_support: int, precision):
     # All-standard-matmul formulation (no transposed operands, no VPU
     # lane reduces — measured 870 ns/block vs 1378 for the
     # contraction-64 + lane-reduce form on the v5e-class chip):
@@ -131,7 +131,6 @@ def _degrid_kernel(bucket_ref, ubase_ref, vbt_ref, wkt_ref, win_ref,
     # [8, B] output block (vis on lanes; the narrow [B, 8] layout
     # stores 8-lane tiles and costs ~18% of the kernel).
     half = w_support * WIN_ROWS
-    win = win_ref[:, 0].reshape(2 * half, win_ref.shape[-1])
     t_T = jnp.dot(win, vbt_ref[:],
                   preferred_element_type=jnp.float32,
                   precision=precision)                 # [2*half, B]
@@ -147,6 +146,14 @@ def _degrid_kernel(bucket_ref, ubase_ref, vbt_ref, wkt_ref, win_ref,
     out_ref[:] = jnp.dot(sel, prod,
                          preferred_element_type=jnp.float32,
                          precision=precision)
+
+
+def _degrid_kernel(bucket_ref, ubase_ref, vbt_ref, wkt_ref, win_ref,
+                   out_ref, *, w_support: int, precision):
+    half = w_support * WIN_ROWS
+    win = win_ref[:, 0].reshape(2 * half, win_ref.shape[-1])
+    _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
+                 w_support, precision)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -439,4 +446,97 @@ def degrid_packed_pallas(windows: Array, bucket_ids, ubase, vband_t,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(bucket_ids, ubase, vband_t, wk_t, windows)
+    return jax.lax.complex(out[0], out[1])
+
+
+def _degrid_fused_kernel(p_ref, g_ref, hv_ref, ubase_ref, vbt_ref,
+                         wkt_ref, *rest, w_support: int, n_vq: int,
+                         precision):
+    quads = rest[:-1]
+    out_ref = rest[-1]
+    # Window assembly from the 2*n_vq aligned (8-row, 128-lane)
+    # quadrant tiles per layer, straight out of the padded plane stack
+    # (the BlockSpec index maps place them; consecutive blocks of the
+    # same bucket re-use the resident tiles — no dense window array,
+    # no unfold pass, no per-block window re-DMA).
+    row16 = []
+    for layer in range(w_support):
+        q = [quads[2 * n_vq * layer + i] for i in range(2 * n_vq)]
+        row16.append((
+            jnp.concatenate([q[i][:, 0] for i in range(n_vq)], axis=2),
+            jnp.concatenate([q[n_vq + i][:, 0] for i in range(n_vq)],
+                            axis=2)))
+    win = jnp.concatenate(
+        [jnp.concatenate([top[ri], bot[ri]], axis=0)
+         for ri in range(2) for (top, bot) in row16], axis=0)
+    _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
+                 w_support, precision)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_support", "block_v", "fast", "interpret"))
+def degrid_fused_pallas(planes: Array, p_idx, g_idx, hv_idx, ubase,
+                        vband_t, wk_t, w_support: int,
+                        block_v: int = 128, fast: bool = False,
+                        interpret: bool = False) -> Array:
+    """Fused degridding: padded plane stack -> sorted visibilities.
+
+    planes: [2, P, rows_pad, lanes_pad] f32 (re/im planes of the FFT'd
+    grid stack; P = num_w_grids for ES-FFT, T*Kmax for w-towers;
+    rows_pad % 8 == 0, lanes_pad % 128 == 0). p_idx/g_idx/hv_idx: [NB]
+    int32 per-block coordinates: first plane of the block's w window,
+    u-octet block (8-row), v-128-lane block (0 when the window spans
+    the full lane width, as in w-towers). Each grid step streams its
+    bucket's window as 2*n_vq*w_support aligned (8, 128) tiles of
+    ``planes`` selected by scalar-prefetched index maps — the dense
+    window array (O(GB) at production grid sizes) and its unfold pass
+    disappear entirely, and Pallas skips the tile DMAs for consecutive
+    blocks of the same bucket. ubase: [16, V]; vband_t: [lanes_win, V]
+    (lanes_win = n_vq*128); wk_t: [w_support, V] (zeroed for padded /
+    invalid entries). Returns [V] complex64 in sorted order.
+    """
+    total = vband_t.shape[1]
+    num_blocks = total // block_v
+    lanes_win = vband_t.shape[0]
+    n_vq = lanes_win // 128
+
+    quad_specs = []
+    for layer in range(w_support):
+        for dg in (0, 1):
+            for dv in range(n_vq):
+                quad_specs.append(pl.BlockSpec(
+                    (2, 1, 8, 128),
+                    functools.partial(
+                        lambda b, p, g, hv, L=0, DG=0, DV=0:
+                        (0, p[b] + L, g[b] + DG, hv[b] + DV),
+                        L=layer, DG=dg, DV=dv),
+                    memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        functools.partial(_degrid_fused_kernel, w_support=w_support,
+                          n_vq=n_vq, precision=_precision(fast)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec((WIN_ROWS, block_v),
+                             lambda b, p, g, hv: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lanes_win, block_v),
+                             lambda b, p, g, hv: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w_support, block_v),
+                             lambda b, p, g, hv: (0, b),
+                             memory_space=pltpu.VMEM),
+            ] + quad_specs,
+            out_specs=pl.BlockSpec((8, block_v),
+                                   lambda b, p, g, hv: (0, b),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(p_idx, g_idx, hv_idx, ubase, vband_t, wk_t,
+      *([planes] * (2 * n_vq * w_support)))
     return jax.lax.complex(out[0], out[1])

@@ -50,6 +50,7 @@ from ..grid_data.gridder_utils import (
 from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
+    degrid_fused_pallas,
     degrid_packed_pallas,
     fold_groups_pallas,
     fold_layers_pallas,
@@ -428,6 +429,19 @@ class PackedGridder:
         self.sort_index = jnp.asarray(arrays["sort_index"].astype(np.int32))
         self.valid = jnp.asarray(arrays["valid"])
         self.block_bucket = jnp.asarray(arrays["block_bucket"])
+        # Per-block (plane, u-octet, v-quad) coordinates for the fused
+        # degrid kernel's window-tile index maps (plane = task*Kmax +
+        # w-slab into the flattened layer stack; hv always 0 — the
+        # window spans the subgrid's full lane width).
+        bb = arrays["block_bucket"].astype(np.int64)
+        octet = bb % pplan.num_octets
+        slab = (bb // pplan.num_octets) % pplan.num_slabs
+        task = bb // (pplan.num_octets * pplan.num_slabs)
+        self.p_idx = jnp.asarray(
+            (task * pplan.num_layers + slab).astype(np.int32))
+        self.g_idx = jnp.asarray(octet.astype(np.int32))
+        self.hv_idx = jnp.asarray(np.zeros(bb.shape, np.int32))
+        self.fused_degrid = True
         self.visited = jnp.asarray(arrays["visited"])
         self.wk = jnp.asarray(arrays["wk"])
         self.wk_t = jnp.asarray(np.ascontiguousarray(arrays["wk"].T))
@@ -576,6 +590,20 @@ class PackedGridder:
         subgrids = ifft_shifted_norm(subgrids)
         layers = fft_shifted(
             (subgrids * pref)[:, None, :, :] * ladder[None])
+        if self.fused_degrid:
+            # Window tiles stream straight out of the padded layer
+            # stack via the fused kernel's index maps (no dense window
+            # array, no unfold pass).
+            p_idx, g_idx, hv_idx = block_bucket
+            st = jnp.stack([layers.real.astype(jnp.float32),
+                            layers.imag.astype(jnp.float32)])
+            st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
+            st = st.reshape(2, num_tasks * pplan.num_layers, sgs + 8,
+                            sgs)
+            return degrid_fused_pallas(
+                st, p_idx, g_idx, hv_idx, ubase, vband_t, wk_t,
+                plan.w_support, block_v=pplan.block_v, fast=self.fast,
+                interpret=self.interpret)
         windows = _unfold_windows(layers, num_tasks, pplan.num_slabs,
                                   pplan.num_octets, plan.w_support, sgs,
                                   self.interpret)
@@ -584,10 +612,15 @@ class PackedGridder:
             block_v=pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
+    def _degrid_indices(self):
+        if self.fused_degrid:
+            return (self.p_idx, self.g_idx, self.hv_idx)
+        return self.block_bucket
+
     def degrid_sorted(self, image: Array) -> Array:
         """Real/complex image -> sorted-stream complex64 visibilities."""
         return self._degrid_jit(image, self.wk_t, self.ubase,
-                                self.vband_t, self.block_bucket,
+                                self.vband_t, self._degrid_indices(),
                                 self.ladder_degrid, self.pref_degrid)
 
     def degrid(self, image: Array) -> Array:
@@ -745,7 +778,7 @@ class PackedGridder:
                 out_specs=P(axis_name), check_vma=False))
             self._sharded_cache[key] = fn
         return fn(image, self.wk_t, self.ubase, self.vband_t,
-                  self.block_bucket, self.ladder_degrid,
+                  self._degrid_indices(), self.ladder_degrid,
                   self.pref_degrid)
 
     def degrid_sharded(self, image: Array, mesh,

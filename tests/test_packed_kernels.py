@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ska_sdp_func_tpu.kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
+    degrid_fused_pallas,
     degrid_packed_pallas,
     grid_packed_pallas,
 )
@@ -159,6 +160,44 @@ def test_degrid_packed_matches_numpy_gather(setup):
     vis_out = np.asarray(degrid_packed_pallas(
         jnp.asarray(winarr), jnp.asarray(s["block_bucket"]), ubase,
         vband_t, jnp.asarray(s["wk_s"].T.copy()), SW, block_v=BLOCK,
+        interpret=True))
+    out = np.zeros(s["num"], np.complex64)
+    out[s["idx"][s["valid"]]] = vis_out[s["valid"]]
+    err = np.abs(out - oracle).max() / np.abs(oracle).max()
+    assert err < 2e-6
+
+
+def test_degrid_fused_matches_numpy_gather(setup):
+    """The fused kernel (window tiles streamed straight from the padded
+    plane stack by scalar-prefetched index maps) must match the same
+    NumPy gather oracle as the windowed kernel."""
+    s = setup
+    rng = np.random.default_rng(7)
+    layers = (rng.standard_normal((NUM_K, LANES, LANES))
+              + 1j * rng.standard_normal((NUM_K, LANES, LANES))
+              ).astype(np.complex64)
+    oracle = np.zeros(s["num"], np.complex128)
+    for p in range(s["num"]):
+        patch = np.outer(s["uk"][p], s["vk"][p])
+        for layer in range(SW):
+            oracle[p] += s["wk"][p, layer] * np.sum(
+                patch * layers[s["k0"][p] + layer,
+                               s["iu0"][p]:s["iu0"][p] + S,
+                               s["iv0"][p]:s["iv0"][p] + S])
+
+    planes = np.zeros((2, NUM_K, LANES + 8, LANES), np.float32)
+    planes[0, :, :LANES] = layers.real
+    planes[1, :, :LANES] = layers.imag
+    bb = s["block_bucket"].astype(np.int64)
+    p_idx = (bb // G).astype(np.int32)       # slab (T = 1)
+    g_idx = (bb % G).astype(np.int32)        # u octet
+    hv_idx = np.zeros_like(g_idx)            # full-lane-width window
+
+    ubase, _, vband_t = s["bands"]
+    vis_out = np.asarray(degrid_fused_pallas(
+        jnp.asarray(planes), jnp.asarray(p_idx), jnp.asarray(g_idx),
+        jnp.asarray(hv_idx), ubase, vband_t,
+        jnp.asarray(s["wk_s"].T.copy()), SW, block_v=BLOCK,
         interpret=True))
     out = np.zeros(s["num"], np.complex64)
     out[s["idx"][s["valid"]]] = vis_out[s["valid"]]
