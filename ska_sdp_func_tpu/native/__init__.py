@@ -88,6 +88,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sdp_tpu_packed_fill.restype = None
     lib.sdp_tpu_prefix_sum.argtypes = [_p_i64, _i64, _p_i64]
     lib.sdp_tpu_prefix_sum.restype = None
+    lib.sdp_tpu_packed_tasks.argtypes = [
+        _p_dbl, _i64, _dbl, _dbl, _i64, _dbl, _dbl, _i64,
+        _p_i64, _p_i64, _p_dbl, _p_dbl]
+    lib.sdp_tpu_packed_tasks.restype = _i64
+    _p_u8c = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.sdp_tpu_hash64.argtypes = [_p_u8c, _i64, ctypes.c_uint64]
+    lib.sdp_tpu_hash64.restype = ctypes.c_uint64
     return lib
 
 
@@ -293,6 +300,54 @@ def packed_plan_arrays(uvw, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
                 block_v=block_v)
 
 
+def packed_tasks(uvw, freq0_hz: float, dfreq_hz: float, num_chan: int,
+                 eff_sg_dist: float, w_stack_dist: float):
+    """Native task enumeration for the packed planner.
+
+    Returns (task_id [rows*chan], boxes [T, 3] as (biw, biu, biv),
+    wmin_t, wmax_t) with tasks in ascending packed-key order (the
+    NumPy path's np.unique semantics), or None when the native library
+    is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    num_rows = uvw.shape[0]
+    num_vis = num_rows * num_chan
+    max_tasks = 1 << 20
+    task_id = np.empty(num_vis, np.int64)
+    keys = np.empty(max_tasks, np.int64)
+    wmin = np.empty(max_tasks, np.float64)
+    wmax = np.empty(max_tasks, np.float64)
+    n = int(lib.sdp_tpu_packed_tasks(
+        uvw, num_rows, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
+        w_stack_dist, max_tasks, task_id, keys, wmin, wmax))
+    if n < 0:
+        return None
+    keys = keys[:n]
+    span = 1 << 20
+    boxes = np.stack([keys // (span * span) - span // 2,
+                      (keys // span) % span - span // 2,
+                      keys % span - span // 2], axis=1)
+    return task_id, boxes, wmin[:n].copy(), wmax[:n].copy()
+
+
+def hash_arrays(arrays) -> Optional[str]:
+    """Chained 64-bit content digest over a sequence of ndarrays
+    (plan cache identity; ~20x sha256's rate on multicore hosts).
+    Returns None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    acc = 14695981039346656037
+    for a in arrays:
+        buf = np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+        acc = int(lib.sdp_tpu_hash64(buf, buf.size,
+                                     ctypes.c_uint64(acc).value))
+    return f"fnv64:{acc:016x}"
+
+
 def sort_rows_by_w(uvw) -> np.ndarray:
     """Stable argsort of rows by w (bucket-sort permutation)."""
     uvw = np.ascontiguousarray(uvw, np.float64)
@@ -319,7 +374,9 @@ def prefix_sum(counts) -> np.ndarray:
 
 __all__ = [
     "available",
+    "hash_arrays",
     "packed_plan_arrays",
+    "packed_tasks",
     "plan_wstack_boxes",
     "prefix_sum",
     "sort_rows_by_w",

@@ -20,6 +20,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <unordered_map>
 #include <vector>
 
 #ifdef _OPENMP
@@ -395,6 +396,131 @@ void sdp_tpu_packed_fill(
                     (float)w_table[wr * w_support + s];
         }
     }
+}
+
+// Task enumeration for the packed planner: per-(row, chan) box keys
+// (the same packed scalar key as plan_packed's NumPy path:
+// ((biw + S/2)*S + (biu + S/2))*S + (biv + S/2), S = 1<<20), unique
+// tasks in ascending key order (np.unique semantics), per-entry task
+// ids, and per-task scaled-w bounds — one OpenMP pass + a small merge,
+// replacing the O(V log V) np.unique / argsort / reduceat stages.
+//
+// keys_out: caller-allocated [max_tasks]; returns the number of unique
+// tasks found, or -1 if it exceeds max_tasks (caller falls back).
+int64_t sdp_tpu_packed_tasks(
+    const double* uvw, int64_t num_rows,
+    double freq0_hz, double dfreq_hz, int64_t num_chan,
+    double eff_sg_dist, double w_stack_dist,
+    int64_t max_tasks,
+    int64_t* task_id, int64_t* keys_out,
+    double* wmin_out, double* wmax_out)
+{
+    constexpr int64_t kSpan = (int64_t)1 << 20;
+    constexpr int64_t kHalf = kSpan / 2;
+#ifdef _OPENMP
+    const int num_threads = omp_get_max_threads();
+#else
+    const int num_threads = 1;
+#endif
+    struct Bounds
+    {
+        double lo = INFINITY, hi = -INFINITY;
+    };
+    std::vector<std::unordered_map<int64_t, Bounds>> t_maps(num_threads);
+
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < num_rows; ++r)
+    {
+#ifdef _OPENMP
+        const int tid = omp_get_thread_num();
+#else
+        const int tid = 0;
+#endif
+        auto& map = t_maps[tid];
+        for (int64_t c = 0; c < num_chan; ++c)
+        {
+            const double sc = (freq0_hz + dfreq_hz * (double)c) / kC0;
+            const double u = uvw[3 * r + 0] * sc;
+            const double v = uvw[3 * r + 1] * sc;
+            const double w = uvw[3 * r + 2] * sc;
+            const int64_t biu =
+                (int64_t)std::floor(u / eff_sg_dist + 0.5);
+            const int64_t biv =
+                (int64_t)std::floor(v / eff_sg_dist + 0.5);
+            const int64_t biw =
+                (int64_t)std::floor(w / w_stack_dist + 0.5);
+            const int64_t key =
+                ((biw + kHalf) * kSpan + (biu + kHalf)) * kSpan
+                + (biv + kHalf);
+            task_id[r * num_chan + c] = key;  // temp: raw key
+            auto& b = map[key];
+            b.lo = std::min(b.lo, w);
+            b.hi = std::max(b.hi, w);
+        }
+    }
+
+    // Merge per-thread maps; ascending-key order == np.unique order.
+    std::unordered_map<int64_t, Bounds> merged;
+    for (auto& m : t_maps)
+        for (auto& kv : m)
+        {
+            auto& b = merged[kv.first];
+            b.lo = std::min(b.lo, kv.second.lo);
+            b.hi = std::max(b.hi, kv.second.hi);
+        }
+    const int64_t num_tasks = (int64_t)merged.size();
+    if (num_tasks > max_tasks) return -1;
+    std::vector<int64_t> keys;
+    keys.reserve(merged.size());
+    for (auto& kv : merged) keys.push_back(kv.first);
+    std::sort(keys.begin(), keys.end());
+    for (int64_t t = 0; t < num_tasks; ++t)
+    {
+        keys_out[t] = keys[t];
+        const Bounds& b = merged[keys[t]];
+        wmin_out[t] = b.lo;
+        wmax_out[t] = b.hi;
+    }
+
+    // Raw key -> dense ascending id.
+    const int64_t num_vis = num_rows * num_chan;
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < num_vis; ++e)
+    {
+        task_id[e] = (int64_t)(std::lower_bound(keys.begin(), keys.end(),
+                                                task_id[e])
+                               - keys.begin());
+    }
+    return num_tasks;
+}
+
+// Chunked FNV-1a content digest (plan cache identity, not crypto):
+// each 1 MiB chunk hashes independently (OpenMP) and the chunk hashes
+// combine sequentially, so the result is thread-count invariant.
+uint64_t sdp_tpu_hash64(const uint8_t* data, int64_t n, uint64_t seed)
+{
+    constexpr int64_t kChunk = (int64_t)1 << 20;
+    const int64_t num_chunks = n == 0 ? 0 : (n + kChunk - 1) / kChunk;
+    std::vector<uint64_t> h(num_chunks);
+#pragma omp parallel for schedule(static)
+    for (int64_t cidx = 0; cidx < num_chunks; ++cidx)
+    {
+        uint64_t acc = 1469598103934665603ULL;
+        const int64_t lo = cidx * kChunk;
+        const int64_t hi = std::min(n, lo + kChunk);
+        for (int64_t i = lo; i < hi; ++i)
+        {
+            acc ^= (uint64_t)data[i];
+            acc *= 1099511628211ULL;
+        }
+        h[cidx] = acc;
+    }
+    uint64_t out = seed;
+    for (int64_t cidx = 0; cidx < num_chunks; ++cidx)
+    {
+        out ^= h[cidx] + 0x9e3779b97f4a7c15ULL + (out << 6) + (out >> 2);
+    }
+    return out;
 }
 
 // Stable argsort of rows by their w coordinate — the host-side bucket

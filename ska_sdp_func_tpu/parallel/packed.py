@@ -165,38 +165,52 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
     wd = wplan.w_stack_dist
     height = wplan.w_tower_height
 
-    scale = (freq0 + dfreq * np.arange(num_chan)) / C_0
-    u = (uvw[:, 0:1] * scale[None, :]).ravel()
-    v = (uvw[:, 1:2] * scale[None, :]).ravel()
-    w = (uvw[:, 2:3] * scale[None, :]).ravel()
-    num_vis = u.shape[0]
+    num_vis = num_rows * num_chan
 
-    biu = np.floor(u / d + 0.5).astype(np.int64)
-    biv = np.floor(v / d + 0.5).astype(np.int64)
-    biw = np.floor(w / wd + 0.5).astype(np.int64)
+    # Task enumeration + per-task w bounds: native one-pass scan when
+    # available (host_runtime.cpp sdp_tpu_packed_tasks), else NumPy on
+    # a packed scalar key (lexicographic in (biw, biu, biv); ~10x
+    # faster than np.unique(axis=0)'s void view).
+    from .. import native as native_runtime
 
-    # Task enumeration on a packed scalar key (lexicographic in
-    # (biw, biu, biv); ~10x faster than np.unique(axis=0)'s void view).
-    span = 1 << 20
-    box_key = ((biw + span // 2) * span + (biu + span // 2)) * span \
-        + (biv + span // 2)
-    keys, task_id = np.unique(box_key, return_inverse=True)
-    task_id = task_id.ravel()
-    num_tasks = keys.shape[0]
-    boxes = np.stack([keys // (span * span) - span // 2,
-                      (keys // span) % span - span // 2,
-                      keys % span - span // 2], axis=1)
+    u = v = w = None
+    nat_tasks = native_runtime.packed_tasks(
+        uvw, freq0, dfreq, num_chan, d, wd)
+    if nat_tasks is not None:
+        task_id, boxes, wmin_t, wmax_t = nat_tasks
+        num_tasks = boxes.shape[0]
+    else:
+        scale = (freq0 + dfreq * np.arange(num_chan)) / C_0
+        u = (uvw[:, 0:1] * scale[None, :]).ravel()
+        v = (uvw[:, 1:2] * scale[None, :]).ravel()
+        w = (uvw[:, 2:3] * scale[None, :]).ravel()
+
+        biu = np.floor(u / d + 0.5).astype(np.int64)
+        biv = np.floor(v / d + 0.5).astype(np.int64)
+        biw = np.floor(w / wd + 0.5).astype(np.int64)
+
+        span = 1 << 20
+        box_key = ((biw + span // 2) * span + (biu + span // 2)) * span \
+            + (biv + span // 2)
+        keys, task_id = np.unique(box_key, return_inverse=True)
+        task_id = task_id.ravel()
+        num_tasks = keys.shape[0]
+        boxes = np.stack([keys // (span * span) - span // 2,
+                          (keys // span) % span - span // 2,
+                          keys % span - span // 2], axis=1)
+
+        # Segment reductions over the task-sorted stream (no per-task
+        # Python loop).
+        order_t = np.argsort(task_id, kind="stable")
+        seg = np.searchsorted(task_id[order_t], np.arange(num_tasks))
+        w_sorted = w[order_t]
+        wmin_t = np.minimum.reduceat(w_sorted, seg)
+        wmax_t = np.maximum.reduceat(w_sorted, seg)
 
     # Per-task w bounds -> tower plane range (plan_wstack geometry,
-    # sdp_grid_wstack_wtower.cpp:310-330). Segment reductions over the
-    # task-sorted stream (no per-task Python loop).
+    # sdp_grid_wstack_wtower.cpp:310-330).
     eta = 1e-5
-    order_t = np.argsort(task_id, kind="stable")
-    seg = np.searchsorted(task_id[order_t], np.arange(num_tasks))
-    w_sorted = w[order_t]
     off_w_t = np.trunc(boxes[:, 0] * height).astype(np.int64)
-    wmin_t = np.minimum.reduceat(w_sorted, seg)
-    wmax_t = np.maximum.reduceat(w_sorted, seg)
     first_t = (np.floor(wmin_t / w_step - eta).astype(np.int64)
                - off_w_t)
     last_t = (np.ceil(wmax_t / w_step + eta).astype(np.int64)
@@ -211,8 +225,6 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
 
     # Native C++/OpenMP two-pass planner (geometry + bucket counting +
     # stable placement + tap table fills); NumPy fallback below.
-    from .. import native as native_runtime
-
     nat = native_runtime.packed_plan_arrays(
         uvw, freq0, dfreq, num_chan, d, theta, w_step, height, ov,
         w_ov, sgs, support, w_support, task_id, first_t, off_w_t,
@@ -230,6 +242,13 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
         # Per-entry tap geometry relative to its own task (host =
         # single source of truth; formulas mirror
         # sdp_gridder_wtower_uvw.cpp:126-142 via grid_data/wtower.py).
+        if u is None:
+            scale = (freq0 + dfreq * np.arange(num_chan)) / C_0
+            u = (uvw[:, 0:1] * scale[None, :]).ravel()
+            v = (uvw[:, 1:2] * scale[None, :]).ravel()
+            w = (uvw[:, 2:3] * scale[None, :]).ravel()
+            biu = np.floor(u / d + 0.5).astype(np.int64)
+            biv = np.floor(v / d + 0.5).astype(np.int64)
         half_ov = (sgs // 2 - support // 2 + 1) * ov
         u_rel = u - biu * d
         v_rel = v - biv * d
@@ -330,19 +349,25 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
     arrays = dict(sort_index=sort_index, valid=valid, u_off=u_off_s,
                   iv0=iv0_s, uk=uk_s, vk=vk_s, wk=wk_s,
                   block_bucket=block_bucket, visited=visited)
-    h = hashlib.sha256()
-    for name in ("sort_index", "valid", "u_off", "iv0", "wk",
-                 "block_bucket", "visited"):
-        h.update(np.ascontiguousarray(arrays[name]).tobytes())
-    for t in tasks:
-        h.update(repr(t).encode())
+    digest_names = ("sort_index", "valid", "u_off", "iv0", "wk",
+                    "block_bucket", "visited")
+    task_bytes = "".join(repr(t) for t in tasks).encode()
+    digest = native_runtime.hash_arrays(
+        [arrays[n] for n in digest_names]
+        + [np.frombuffer(task_bytes, np.uint8)])
+    if digest is None:
+        h = hashlib.sha256()
+        for name in digest_names:
+            h.update(np.ascontiguousarray(arrays[name]).tobytes())
+        h.update(task_bytes)
+        digest = h.hexdigest()
 
     return PackedPlan(
         wplan=wplan, tasks=tasks, num_rows=num_rows,
         num_layers=num_layers,
         num_slabs=num_slabs, num_octets=num_octets, block_v=block_v,
         total=total, num_blocks=num_blocks, num_buckets=num_buckets,
-        digest=h.hexdigest(), arrays=arrays)
+        digest=digest, arrays=arrays)
 
 
 # ---------------------------------------------------------------------------

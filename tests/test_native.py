@@ -56,3 +56,56 @@ def test_sort_and_prefix(data):
     counts = np.asarray([3, 0, 5, 2], np.int64)
     np.testing.assert_array_equal(native.prefix_sum(counts),
                                   [0, 3, 3, 8, 10])
+
+
+def test_packed_tasks_matches_numpy(data):
+    """Native task enumeration must reproduce np.unique's ascending-key
+    ids and the per-task scaled-w bounds exactly."""
+    uvw, _, _ = data
+    if not native.available():
+        pytest.skip("native unavailable")
+    freq0, dfreq, num_chan = C_0, C_0 / 400, 4
+    d, wd = 350.0, 400.0
+    out = native.packed_tasks(uvw, freq0, dfreq, num_chan, d, wd)
+    assert out is not None
+    task_id, boxes, wmin_t, wmax_t = out
+
+    scale = (freq0 + dfreq * np.arange(num_chan)) / C_0
+    u = (uvw[:, 0:1] * scale[None, :]).ravel()
+    v = (uvw[:, 1:2] * scale[None, :]).ravel()
+    w = (uvw[:, 2:3] * scale[None, :]).ravel()
+    biu = np.floor(u / d + 0.5).astype(np.int64)
+    biv = np.floor(v / d + 0.5).astype(np.int64)
+    biw = np.floor(w / wd + 0.5).astype(np.int64)
+    span = 1 << 20
+    key = ((biw + span // 2) * span + (biu + span // 2)) * span \
+        + (biv + span // 2)
+    keys, tid_np = np.unique(key, return_inverse=True)
+    np.testing.assert_array_equal(task_id, tid_np.ravel())
+    np.testing.assert_array_equal(
+        boxes, np.stack([keys // (span * span) - span // 2,
+                         (keys // span) % span - span // 2,
+                         keys % span - span // 2], axis=1))
+    order = np.argsort(tid_np.ravel(), kind="stable")
+    seg = np.searchsorted(tid_np.ravel()[order], np.arange(keys.size))
+    np.testing.assert_allclose(
+        wmin_t, np.minimum.reduceat(w[order], seg), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        wmax_t, np.maximum.reduceat(w[order], seg), rtol=0, atol=0)
+
+
+def test_hash_arrays_deterministic():
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((1000, 4)).astype(np.float32)
+    b = np.arange(3000, dtype=np.int64)
+    h1 = native.hash_arrays([a, b])
+    h2 = native.hash_arrays([a, b])
+    assert h1 == h2 and h1.startswith("fnv64:")
+    b2 = b.copy()
+    b2[-1] += 1
+    assert native.hash_arrays([a, b2]) != h1
+    # Concatenation boundaries matter (no length-extension aliasing
+    # between [a, b] and [a||b]).
+    assert native.hash_arrays([a]) != native.hash_arrays([a, b])
