@@ -93,6 +93,7 @@ class EsPackedPlan:
                 kw=jnp.asarray(a["kw"]),
                 kw_t=jnp.asarray(np.ascontiguousarray(a["kw"].T)),
                 block_bucket=jnp.asarray(a["block_bucket"]),
+                inv_index=jnp.asarray(a["inv_index"].astype(np.int32)),
                 k_idx=jnp.asarray(a["k_idx"]),
                 g_idx=jnp.asarray(a["g_idx"]),
                 hv_idx=jnp.asarray(a["hv_idx"]),
@@ -211,8 +212,11 @@ def build_es_packed_plan(plan, uvw: np.ndarray, freq: np.ndarray,
         out[dest] = x[order]
         return out
 
+    from ..parallel.bucketed import inverse_index_of
+
     arrays = dict(
         sort_index=sort_index, valid=valid,
+        inv_index=inverse_index_of(sort_index, valid, R * C),
         u_off=scatter(u_off), iv0_local=scatter(iv0_local),
         uk=scatter(uk), vk=scatter(vk),
         kw=np.where(valid[:, None], scatter(kw), 0.0).astype(np.float32),
@@ -364,14 +368,14 @@ def degrid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
         fn = jax.jit(functools.partial(_degrid_es_impl, plan, ep,
                                        interpret))
         ep._jits[key] = fn
-    return fn(vis, dirty_image, dev["sort_index"], dev["valid"],
+    return fn(vis, dirty_image, dev["inv_index"],
               dev["flip"], dev["kw_t"], dev["k_idx"], dev["g_idx"],
               dev["hv_idx"], dev["ubase"], dev["vband_t"],
               dev["screens_degrid"], dev["correction"])
 
 
-def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
-                    valid, flip, kw_t, k_idx, g_idx, hv_idx, ubase,
+def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, inv_index,
+                    flip, kw_t, k_idx, g_idx, hv_idx, ubase,
                     vband_t, screens, correction):
     from ..fourier_transforms.fft import fft_shifted
     G = plan.grid_size
@@ -398,10 +402,13 @@ def _degrid_es_impl(plan, ep, interpret, vis, dirty_image, sort_index,
         padded, k_idx, g_idx, hv_idx, ubase, vband_t, kw_t, sw,
         block_v=ep.block_v, interpret=interpret)
 
-    # Undo the w<0 flip (conjugate), unsort, drop pads/clipped.
+    # Undo the w<0 flip (conjugate), unsort, drop pads/clipped. The
+    # unsort is a GATHER through the host-precomputed inverse
+    # permutation (a 262k-element XLA scatter costs ~15 ms on the
+    # attached chip; the gather is bandwidth-bound); dropped entries
+    # point at the guaranteed-zero one-past-the-end slot.
     out = jnp.where(flip < 0, jnp.conj(out), out)
-    num_vis = vis.size
-    src = jnp.where(valid, sort_index, num_vis)
-    flat = jnp.zeros((num_vis,), jnp.complex64) \
-        .at[src].set(out, mode="drop")
+    out_padded = jnp.concatenate(
+        [out, jnp.zeros((1,), jnp.complex64)])
+    flat = out_padded[inv_index]
     return vis + flat.reshape(vis.shape).astype(cdtype)

@@ -148,14 +148,6 @@ def _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
                          precision=precision)
 
 
-def _degrid_kernel(bucket_ref, ubase_ref, vbt_ref, wkt_ref, win_ref,
-                   out_ref, *, w_support: int, precision):
-    half = w_support * WIN_ROWS
-    win = win_ref[:, 0].reshape(2 * half, win_ref.shape[-1])
-    _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
-                 w_support, precision)
-
-
 @functools.partial(jax.jit, static_argnames=(
     "num_buckets", "lanes", "w_support", "block_v", "fast", "interpret"))
 def grid_packed_pallas(bucket_ids, ubase, vband, scales,
@@ -224,11 +216,6 @@ def _fold_groups_kernel(visited_ref, wins_ref, out_ref, *,
                 # exactly the subgrid rows (no crop pass).
                 out_ref[:, 0, 8 * g:8 * g + 8, :] += \
                     wins_ref[:, g, :8, :]
-
-
-def _unfold_groups_kernel(layers_ref, win_ref, *, num_octets: int):
-    for g in range(num_octets):
-        win_ref[:, g] = layers_ref[:, 0, 8 * g:8 * g + WIN_ROWS, :]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -311,142 +298,6 @@ def fold_layers_pallas(part: Array, num_tasks: int, num_slabs: int,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(part)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "num_groups", "num_octets", "interpret"))
-def unfold_groups_pallas(layers: Array, num_groups: int,
-                         num_octets: int,
-                         interpret: bool = False) -> Array:
-    """Inverse of :func:`fold_groups_pallas` for degridding: cut each
-    octet's 16-row window out of the group's row-padded layer block:
-    [num_p, groups, 8G+16, L] -> [num_p, groups*G, 16, L]."""
-    num_p, _, rows_in, lanes = layers.shape
-    return pl.pallas_call(
-        functools.partial(_unfold_groups_kernel,
-                          num_octets=num_octets),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(num_groups,),
-            in_specs=[
-                pl.BlockSpec((num_p, 1, rows_in, lanes),
-                             lambda ts: (0, ts, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (num_p, num_octets, WIN_ROWS, lanes),
-                lambda ts: (0, ts, 0, 0),
-                memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (num_p, num_groups * num_octets, WIN_ROWS, lanes),
-            jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(layers)
-
-
-def _unfold_tasks_kernel(layers_ref, win_ref, *, num_octets: int,
-                         w_support: int):
-    s = pl.program_id(1)
-    for ri in range(2):
-        for layer in range(w_support):
-            lay = layers_ref[ri, 0, s + layer]        # [rows_pad, L]
-            j = ri * w_support + layer
-            for g in range(num_octets):
-                win_ref[j, g] = lay[8 * g:8 * g + WIN_ROWS, :]
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "num_tasks", "num_slabs", "num_octets", "w_support", "interpret"))
-def unfold_tasks_pallas(layers: Array, num_tasks: int, num_slabs: int,
-                        num_octets: int, w_support: int,
-                        interpret: bool = False) -> Array:
-    """Degrid window build straight from the per-task layer stacks.
-
-    layers: [2, T, K, 8G+8, L] f32 (re/im planes, rows padded by 8 so
-    the last octet's straddle half reads zeros). Each (task, slab)
-    program slices its w_support layers at the slab offset and emits
-    the G octet windows — the task's stack stays cached in VMEM across
-    its slabs, so the stack is DMA'd once per task instead of the
-    GB-scale stack/pad copies the XLA formulation materialised.
-    Returns [2*w_support, T*S*G, 16, L].
-    """
-    _, _, num_layers, rows_pad, lanes = layers.shape
-    num_p = 2 * w_support
-    return pl.pallas_call(
-        functools.partial(_unfold_tasks_kernel, num_octets=num_octets,
-                          w_support=w_support),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(num_tasks, num_slabs),
-            in_specs=[
-                pl.BlockSpec((2, 1, num_layers, rows_pad, lanes),
-                             lambda t, s: (0, t, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (num_p, num_octets, WIN_ROWS, lanes),
-                lambda t, s: (0, t * pl.num_programs(1) + s, 0, 0),
-                memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (num_p, num_tasks * num_slabs * num_octets, WIN_ROWS,
-             lanes), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(layers)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "w_support", "block_v", "fast", "interpret"))
-def degrid_packed_pallas(windows: Array, bucket_ids, ubase, vband_t,
-                         wk_t, w_support: int, block_v: int = 128,
-                         fast: bool = False,
-                         interpret: bool = False) -> Array:
-    """Packed degridding: window stack -> bucket-sorted visibilities.
-
-    windows: [2*w_support, num_buckets, 16, lanes] f32 (cut out of the
-    FFT'd layer stack by the driver, (layer, re/im)-major); ubase:
-    [16, V]; vband_t: [lanes, V]; wk_t: [w_support, V] f32 (zeroed
-    for padded/invalid entries). All per-visibility streams carry the
-    visibility on the LANE axis so every contraction is a standard
-    (untransposed) MXU matmul. Returns [V] complex64 in sorted order.
-    """
-    total = vband_t.shape[1]
-    num_blocks = total // block_v
-    lanes = vband_t.shape[0]
-    num_p = 2 * w_support
-
-    out = pl.pallas_call(
-        functools.partial(_degrid_kernel, w_support=w_support,
-                          precision=_precision(fast)),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(num_blocks,),
-            in_specs=[
-                pl.BlockSpec((WIN_ROWS, block_v), lambda b, ids: (0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((lanes, block_v), lambda b, ids: (0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((w_support, block_v), lambda b, ids: (0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((num_p, 1, WIN_ROWS, lanes),
-                             lambda b, ids: (0, ids[b], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (8, block_v), lambda b, ids: (0, b),
-                memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(bucket_ids, ubase, vband_t, wk_t, windows)
-    return jax.lax.complex(out[0], out[1])
 
 
 def _degrid_fused_kernel(p_ref, g_ref, hv_ref, ubase_ref, vbt_ref,

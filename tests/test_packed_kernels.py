@@ -15,7 +15,6 @@ from ska_sdp_func_tpu.kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
     degrid_fused_pallas,
-    degrid_packed_pallas,
     grid_packed_pallas,
 )
 
@@ -125,45 +124,6 @@ def test_grid_packed_matches_numpy_scatter(setup):
                             == 0
     result = folded[0] + 1j * folded[1]
     err = np.abs(result - oracle).max() / np.abs(oracle).max()
-    assert err < 2e-6
-
-
-def test_degrid_packed_matches_numpy_gather(setup):
-    s = setup
-    rng = np.random.default_rng(7)
-    layers = (rng.standard_normal((NUM_K, LANES, LANES))
-              + 1j * rng.standard_normal((NUM_K, LANES, LANES))
-              ).astype(np.complex64)
-    oracle = np.zeros(s["num"], np.complex128)
-    for p in range(s["num"]):
-        patch = np.outer(s["uk"][p], s["vk"][p])
-        for layer in range(SW):
-            oracle[p] += s["wk"][p, layer] * np.sum(
-                patch * layers[s["k0"][p] + layer,
-                               s["iu0"][p]:s["iu0"][p] + S,
-                               s["iv0"][p]:s["iv0"][p] + S])
-
-    # Window build (mirrors parallel.packed unfold), (layer,
-    # re/im)-major layout [2*SW, TB, 16, LANES].
-    winarr = np.zeros((2 * SW, NUM_SLABS * G, WIN_ROWS, LANES),
-                      np.float32)
-    for slab in range(NUM_SLABS):
-        for g in range(G):
-            bid = slab * G + g
-            for ri, lay in enumerate((layers.real, layers.imag)):
-                for layer in range(SW):
-                    nrows = min(WIN_ROWS, LANES - 8 * g)
-                    winarr[ri * SW + layer, bid, :nrows] = \
-                        lay[slab + layer, 8 * g:8 * g + nrows]
-
-    ubase, _, vband_t = s["bands"]
-    vis_out = np.asarray(degrid_packed_pallas(
-        jnp.asarray(winarr), jnp.asarray(s["block_bucket"]), ubase,
-        vband_t, jnp.asarray(s["wk_s"].T.copy()), SW, block_v=BLOCK,
-        interpret=True))
-    out = np.zeros(s["num"], np.complex64)
-    out[s["idx"][s["valid"]]] = vis_out[s["valid"]]
-    err = np.abs(out - oracle).max() / np.abs(oracle).max()
     assert err < 2e-6
 
 
