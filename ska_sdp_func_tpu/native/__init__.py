@@ -84,7 +84,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         _p_i64, _p_i64, _i64,
         _p_dbl, _p_dbl,
         _p_i64, _p_u8, _p_i32, _p_i32,
-        _p_f32, _p_f32, _p_f32]
+        _p_f32, _p_f32, _p_f32,
+        _p_i32, _p_i32, _p_i32]
     lib.sdp_tpu_packed_fill.restype = None
     lib.sdp_tpu_prefix_sum.argtypes = [_p_i64, _i64, _p_i64]
     lib.sdp_tpu_prefix_sum.restype = None
@@ -286,6 +287,9 @@ def packed_plan_arrays(uvw, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
     uk = np.zeros((total, support), np.float32)
     vk = np.zeros((total, support), np.float32)
     wk = np.zeros((total, w_support), np.float32)
+    u_frac = np.zeros(total, np.int32)
+    v_frac = np.zeros(total, np.int32)
+    w_row = np.zeros(total, np.int32)
     lib.sdp_tpu_packed_fill(
         uvw, num_rows, freq0_hz, dfreq_hz, num_chan,
         eff_sg_dist, theta, w_step, height,
@@ -293,9 +297,11 @@ def packed_plan_arrays(uvw, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
         task_id, first_t, off_w_t,
         bucket, pad_off[:-1].copy(), num_buckets,
         uv_table, w_table,
-        sort_index, valid, u_off, iv0, uk, vk, wk)
+        sort_index, valid, u_off, iv0, uk, vk, wk,
+        u_frac, v_frac, w_row)
     return dict(sort_index=sort_index, valid=valid.astype(bool),
                 u_off=u_off, iv0=iv0, uk=uk, vk=vk, wk=wk,
+                u_frac=u_frac, v_frac=v_frac, w_row=w_row,
                 counts=counts, padded=padded, total=total,
                 block_v=block_v)
 

@@ -356,7 +356,8 @@ void sdp_tpu_packed_fill(
     const double* uv_table, const double* w_table,
     int64_t* sort_index, uint8_t* valid,
     int32_t* u_off, int32_t* iv0_out,
-    float* uk, float* vk, float* wk)
+    float* uk, float* vk, float* wk,
+    int32_t* u_frac, int32_t* v_frac, int32_t* w_row_out)
 {
     const PackedGeom g{freq0_hz, dfreq_hz, eff_sg_dist, theta, w_step,
                        height, num_chan, ov, w_ov, sgs, support,
@@ -384,6 +385,9 @@ void sdp_tpu_packed_fill(
                          &iu0, &iv0, &uf, &vf, &j, &wr);
             u_off[dest] = (int32_t)(iu0 & 7);
             iv0_out[dest] = (int32_t)iv0;
+            u_frac[dest] = (int32_t)uf;
+            v_frac[dest] = (int32_t)vf;
+            w_row_out[dest] = (int32_t)wr;
             for (int64_t s = 0; s < support; ++s)
             {
                 uk[dest * support + s] =

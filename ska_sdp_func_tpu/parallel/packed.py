@@ -232,6 +232,8 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
         sort_index, valid = nat["sort_index"], nat["valid"]
         u_off_s, iv0_s = nat["u_off"], nat["iv0"]
         uk_s, vk_s, wk_s = nat["uk"], nat["vk"], nat["wk"]
+        u_frac_s, v_frac_s = nat["u_frac"], nat["v_frac"]
+        w_row_s = nat["w_row"]
         counts, padded, total = nat["counts"], nat["padded"], \
             nat["total"]
         block_v = nat["block_v"]
@@ -313,6 +315,9 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
         vk_s = scatter(vk)
         wk_s = scatter(wk)
         wk_s[~valid] = 0.0
+        u_frac_s = scatter(u_frac.astype(np.int32))
+        v_frac_s = scatter(v_frac.astype(np.int32))
+        w_row_s = scatter(w_row.astype(np.int32))
     num_blocks = total // block_v
 
     nonzero = np.nonzero(padded)[0]
@@ -336,6 +341,9 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
         vk_s = np.concatenate([vk_s, np.zeros((pad_n, support), np.float32)])
         wk_s = np.concatenate([wk_s, np.zeros((pad_n, w_support),
                                               np.float32)])
+        u_frac_s = np.concatenate([u_frac_s, np.zeros(pad_n, np.int32)])
+        v_frac_s = np.concatenate([v_frac_s, np.zeros(pad_n, np.int32)])
+        w_row_s = np.concatenate([w_row_s, np.zeros(pad_n, np.int32)])
         total += pad_n
         num_blocks += extra
 
@@ -346,6 +354,7 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
 
     arrays = dict(sort_index=sort_index, valid=valid, u_off=u_off_s,
                   iv0=iv0_s, uk=uk_s, vk=vk_s, wk=wk_s,
+                  u_frac=u_frac_s, v_frac=v_frac_s, w_row=w_row_s,
                   block_bucket=block_bucket, visited=visited)
     digest_names = ("sort_index", "valid", "u_off", "iv0", "wk",
                     "block_bucket", "visited")
@@ -455,12 +464,36 @@ class PackedGridder:
         self.g_idx = jnp.asarray(octet.astype(np.int32))
         self.hv_idx = jnp.asarray(np.zeros(bb.shape, np.int32))
         self.visited = jnp.asarray(arrays["visited"])
-        self.wk = jnp.asarray(arrays["wk"])
-        self.wk_t = jnp.asarray(np.ascontiguousarray(arrays["wk"].T))
-        self.ubase, self.vband, self.vband_t = build_bands(
-            jnp.asarray(arrays["u_off"]), jnp.asarray(arrays["iv0"]),
-            jnp.asarray(arrays["uk"]), jnp.asarray(arrays["vk"]),
-            plan.subgrid_size)
+
+        # Compact plan upload: ship the integer oversampled kernel rows
+        # (u_frac/v_frac/w_row int32, ~12 B/slot) and evaluate the tap
+        # values ON DEVICE via the Chebyshev fits (fit error ~1e-13 vs
+        # the f64 tables, below f32 rounding) — uploading the f32
+        # uk/vk/wk arrays (80 B/slot) dominates plan-attach latency on
+        # ~30 MB/s tunnelled links and scales badly to 1e9-entry
+        # streams. Reference flags the same tap-fetch cost on its CPU
+        # path (sdp_gridder_wtower_uvw.cpp:446-450).
+        from ..grid_data.kernels import eval_kernel_taps
+        from ..grid_data.wtower import _tap_coeffs_cached
+
+        uv_c = _tap_coeffs_cached(plan.support, plan.oversampling)
+        w_c = _tap_coeffs_cached(plan.w_support, plan.w_oversampling)
+
+        def _device_bands(u_frac, v_frac, w_row, u_off, iv0, valid):
+            uk = eval_kernel_taps(u_frac, uv_c, plan.oversampling)
+            vk = eval_kernel_taps(v_frac, uv_c, plan.oversampling)
+            wk = jnp.where(
+                valid[:, None],
+                eval_kernel_taps(w_row, w_c, plan.w_oversampling), 0.0)
+            ubase, vband, vband_t = build_bands(
+                u_off, iv0, uk, vk, plan.subgrid_size)
+            return wk, wk.T, ubase, vband, vband_t
+
+        (self.wk, self.wk_t, self.ubase, self.vband,
+         self.vband_t) = jax.jit(_device_bands)(
+            jnp.asarray(arrays["u_frac"]), jnp.asarray(arrays["v_frac"]),
+            jnp.asarray(arrays["w_row"]), jnp.asarray(arrays["u_off"]),
+            jnp.asarray(arrays["iv0"]), self.valid)
 
         # Shared w-pattern ladders + per-task prefactors (host numpy
         # c128 -> device via re/im-plane transfer; jit constants must
