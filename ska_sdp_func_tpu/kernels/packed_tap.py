@@ -102,6 +102,11 @@ def _grid_kernel(bucket_ref, ubase_ref, vband_ref, scales_ref, out_ref,
     u_all = jnp.concatenate(
         [ubase_ref[:] * scales_ref[j:j + 1, :] for j in range(num_p)],
         axis=0)
+    # fast mode: the v-band streams in as bf16 (half the dominant HBM
+    # stream) and the dot runs single-pass bf16 x bf16 -> f32 on the
+    # MXU (842 vs 1229 ns/block measured; ~2e-3 kernel accuracy).
+    if vband_ref.dtype == jnp.bfloat16:
+        u_all = u_all.astype(jnp.bfloat16)
     contrib = jnp.dot(u_all, vband_ref[:],
                       preferred_element_type=jnp.float32,
                       precision=precision)
@@ -131,6 +136,10 @@ def _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
     # [8, B] output block (vis on lanes; the narrow [B, 8] layout
     # stores 8-lane tiles and costs ~18% of the kernel).
     half = w_support * WIN_ROWS
+    # fast mode (bf16 vband_t stream): single-pass bf16 dot for the
+    # big contraction; the tiny [8, 2*half] selection dot stays f32.
+    if vbt_ref.dtype == jnp.bfloat16:
+        win = win.astype(jnp.bfloat16)
     t_T = jnp.dot(win, vbt_ref[:],
                   preferred_element_type=jnp.float32,
                   precision=precision)                 # [2*half, B]

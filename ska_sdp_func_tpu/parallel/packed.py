@@ -487,6 +487,12 @@ class PackedGridder:
                 eval_kernel_taps(w_row, w_c, plan.w_oversampling), 0.0)
             ubase, vband, vband_t = build_bands(
                 u_off, iv0, uk, vk, plan.subgrid_size)
+            if self.fast:
+                # Opt-in fast mode: bf16 v-band streams (half the
+                # dominant per-block HBM stream; the kernels switch to
+                # single-pass bf16 MXU dots — ~2e-3 kernel accuracy).
+                vband = vband.astype(jnp.bfloat16)
+                vband_t = vband_t.astype(jnp.bfloat16)
             return wk, wk.T, ubase, vband, vband_t
 
         (self.wk, self.wk_t, self.ubase, self.vband,
