@@ -235,7 +235,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        clean_algorithm: str = "hogbom",
                        scale_list: Tuple[int, ...] = (0, 8, 16),
                        ms_scale_bias: float = 0.0,
-                       bucketed: bool = False) -> ImagingResult:
+                       bucketed: bool = False,
+                       fast: bool = False) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
     All heavy stages are jitted; with ``mesh`` the grid/degrid stages run
@@ -255,6 +256,11 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     (w-plane, sub-grid) task once and grids/degrids each task's own
     slice — O(V) instead of O(tasks x V); the f32 production ingest
     path (see :mod:`ska_sdp_func_tpu.parallel.bucketed`).
+
+    ``fast=True`` (with ``bucketed=True``): bf16 v-band streams +
+    single-pass MXU dots in the packed kernels (~2e-3 kernel accuracy;
+    the major loop's exact re-prediction structure still converges —
+    each cycle regrids the true residual). ~1.15-1.25x per iteration.
 
     ``ms_scale_bias``: Cornwell 2008 small-scale selection bias for
     the msclean minor cycle (0 = reference-faithful unbiased selection,
@@ -298,7 +304,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                                 pad_blocks_to=pad_to)
             psf_pplan = plan_packed(psf_plan, np.asarray(uvw),
                                     pad_blocks_to=pad_to)
-            packed = (packed_gridder(pplan), packed_gridder(psf_pplan))
+            packed = (packed_gridder(pplan, fast=fast),
+                      packed_gridder(psf_pplan, fast=fast))
         except SdpInvalidArgumentError:
             packed = None
         if packed is None and mesh is not None:
