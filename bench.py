@@ -26,9 +26,17 @@ star.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compile cache: the tunnelled compile endpoint degrades to
+# minutes/compile in episodes; cached executables make bench re-runs
+# robust (the cache is keyed on HLO, so code changes recompile).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
