@@ -174,6 +174,19 @@ def main():
         dense_dt = (time.perf_counter() - t0) / 10
     dense_mvis = nvis_d / dense_dt / 1e6
 
+    # ---- opt-in bf16 fast mode on the dense stream -----------------
+    gf = packed_gridder(pplan_d, fast=True)
+    img_f = gf.grid_sorted(dre, dim)
+    _ = float(red(img_f))
+    for _loop in range(2):
+        t0 = time.perf_counter()
+        for _i in range(10):
+            img_f = gf.grid_sorted(dre, dim)
+            dre = fb(dre, red(img_f))
+        _ = float(red(img_f))
+        fast_dt = (time.perf_counter() - t0) / 10
+    fast_mvis = nvis_d / fast_dt / 1e6
+
     print(json.dumps({
         "metric": "gridding_throughput",
         "value": round(grid_mvis, 3),
@@ -185,6 +198,7 @@ def main():
         "degrid_mvis_s": round(degrid_mvis, 3),
         "major_cycle_iters_s": round(1.0 / mc_dt, 3),
         "dense_grid_mvis_s": round(dense_mvis, 3),
+        "dense_fast_grid_mvis_s": round(fast_mvis, 3),
         "dense_scenario": "whole-image 512^2, %.2gM vis, block %d"
                           % (nvis_d / 1e6, pplan_d.block_v),
     }))

@@ -519,12 +519,17 @@ class PackedGridder:
         self.ladder_degrid = device_put(ladder_d.astype(np.complex64))
         self.pref_grid = device_put(pref_g.astype(np.complex64))
         self.pref_degrid = device_put(pref_d.astype(np.complex64))
+        # Host copies for the task-sharded mesh drivers (per-shard
+        # zero-padded prefactor slices are built per mesh size).
+        self._pref_g_host = pref_g.astype(np.complex64)
+        self._pref_d_host = pref_d.astype(np.complex64)
 
         self._grid_jit = jax.jit(self._grid_impl)
         self._degrid_jit = jax.jit(self._degrid_impl)
         self._sort_jit = jax.jit(self._sort_impl)
         self._unsort_jit = jax.jit(self._unsort_impl)
         self._sharded_cache: dict = {}
+        self._shard_meta_cache: dict = {}
 
     # -- sorted-stream transforms ------------------------------------
 
@@ -768,6 +773,81 @@ class PackedGridder:
                 f"{ndev} devices — build the plan with "
                 f"pad_blocks_to={ndev}")
 
+    def _shard_meta(self, n: int):
+        """Host metadata for the task-sharded mesh drivers.
+
+        Blocks shard contiguously, and blocks are bucket-sorted with
+        the task index major — so each shard's blocks reference a
+        CONTIGUOUS task range. The fold/drain stages then run over at
+        most ``Tp = max_s(tasks touched by shard s)`` tasks per shard
+        instead of all T: without this, every chip re-ran the full
+        per-task FFT drain and the iteration rate stopped scaling once
+        T-sized drain work matched the sharded kernel work.
+        """
+        meta = self._shard_meta_cache.get(n)
+        if meta is not None:
+            return meta
+        from ..utility.device import device_put
+
+        pplan = self.pplan
+        S, G, Kmax = pplan.num_slabs, pplan.num_octets, pplan.num_layers
+        NB = pplan.num_blocks
+        bps = NB // n
+        bb = pplan.arrays["block_bucket"].astype(np.int64)
+        task_of_block = bb // (S * G)
+        slab_of_block = (bb // G) % S
+        t0 = task_of_block[0::bps][:n]
+        t1 = task_of_block[bps - 1::bps][:n]
+        tp = int((t1 - t0 + 1).max())
+
+        base = (t0 * S * G).repeat(bps)
+        bb_local = (bb - base).astype(np.int32)
+        p_idx_local = ((task_of_block - t0.repeat(bps)) * Kmax
+                       + slab_of_block).astype(np.int32)
+
+        plan = pplan.wplan
+        plane_ids = list(pplan.w_plane_ids)
+        plane_pos = {iw: i for i, iw in enumerate(plane_ids)}
+        T = len(pplan.tasks)
+        iu_eff = np.zeros(n * tp, np.int32)
+        iv_eff = np.zeros(n * tp, np.int32)
+        pidx = np.zeros(n * tp, np.int32)
+        vmask = np.zeros(n * tp, bool)
+        for s in range(n):
+            for j in range(tp):
+                t = int(t0[s]) + j
+                if t > int(t1[s]) or t >= T:
+                    continue
+                task = pplan.tasks[t]
+                iu_eff[s * tp + j] = task.iu * plan.eff_sg_size
+                iv_eff[s * tp + j] = task.iv * plan.eff_sg_size
+                pidx[s * tp + j] = plane_pos[task.iw]
+                vmask[s * tp + j] = True
+
+        sgs = plan.subgrid_size
+        zpad = np.zeros((tp, sgs, sgs), np.complex64)
+        meta = dict(
+            tp=tp,
+            bb_local=jnp.asarray(bb_local),
+            p_idx_local=jnp.asarray(p_idx_local),
+            t0=jnp.asarray(t0.astype(np.int32)),
+            iu_eff=jnp.asarray(iu_eff),
+            iv_eff=jnp.asarray(iv_eff),
+            pidx=jnp.asarray(pidx),
+            vmask=jnp.asarray(vmask),
+            pref_g_pad=device_put(
+                np.concatenate([self._pref_g_host, zpad])),
+            pref_d_pad=device_put(
+                np.concatenate([self._pref_d_host, zpad])),
+        )
+        self._shard_meta_cache[n] = meta
+        return meta
+
+    def _plane_offsets(self):
+        plan = self.pplan.wplan
+        return [int(np.trunc(iw * plan.w_tower_height))
+                for iw in self.pplan.w_plane_ids]
+
     def grid_sorted_sharded(self, vre: Array, vim: Array, mesh,
                             axis_name: str = "rows") -> Array:
         from jax.sharding import PartitionSpec as P
@@ -775,27 +855,82 @@ class PackedGridder:
         self._check_mesh(mesh)
         key = ("grid", self._mesh_key(mesh, axis_name))
         fn = self._sharded_cache.get(key)
+        n = int(mesh.devices.size)
+        meta = self._shard_meta(n)
         if fn is None:
-            num_buckets = self.pplan.num_buckets
+            pplan = self.pplan
+            plan = pplan.wplan
+            sgs = plan.subgrid_size
+            N = plan.image_size
+            S, G = pplan.num_slabs, pplan.num_octets
+            tp = meta["tp"]
+            sg_factor = (N / sgs) ** 2
+            num_p = len(self._plane_offsets())
+            w_offsets = self._plane_offsets()
+            kernel = self._kernel
 
-            def body(vre_c, vim_c, wk_c, ubase_c, vband_c, bb_c,
-                     ladder, pref):
-                visited_local = jnp.zeros((num_buckets,), bool) \
-                    .at[bb_c].set(True)
-                img = self._grid_impl(vre_c, vim_c, wk_c, ubase_c,
-                                      vband_c, bb_c, visited_local,
-                                      ladder, pref)
-                return jax.lax.psum(img, axis_name)
+            def body(vre_c, vim_c, wk_c, ubase_c, vband_c, bb_loc_c,
+                     t0_c, iu_c, iv_c, pl_c, vm_c, ladder, pref_pad):
+                scales = jnp.concatenate(
+                    [wk_c * vre_c[:, None], wk_c * vim_c[:, None]],
+                    axis=1).T
+                wins = grid_packed_pallas(
+                    bb_loc_c, ubase_c, vband_c, scales, tp * S * G,
+                    sgs, plan.w_support, block_v=pplan.block_v,
+                    fast=self.fast, interpret=self.interpret)
+                visited_local = jnp.zeros((tp * S * G,), bool) \
+                    .at[bb_loc_c].set(True)
+                layers = _fold_windows(
+                    wins, visited_local, tp, S, G, plan.w_support,
+                    pplan.num_layers, sgs, self.interpret)
+                z = jnp.zeros((), t0_c.dtype)
+                pref_local = jax.lax.dynamic_slice(
+                    pref_pad, (t0_c[0], z, z), (tp, sgs, sgs))
+                subgrids = self._stage_drain(layers, ladder, pref_local)
+
+                # Shard-local wrap-around adds onto a halo canvas; the
+                # halo folds back once, so the per-task offsets can be
+                # traced (dynamic) without scatter lowering.
+                canvas = jnp.zeros((num_p, N + sgs, N + sgs),
+                                   jnp.complex64)
+
+                def step(c, xs):
+                    sub, iu, iv, pid, vm = xs
+                    su = jnp.mod(N // 2 - sgs // 2 + iu, N)
+                    sv = jnp.mod(N // 2 - sgs // 2 + iv, N)
+                    patch = jax.lax.dynamic_slice(
+                        c, (pid, su, sv), (1, sgs, sgs))
+                    contrib = jnp.where(
+                        vm, (sub * sg_factor).astype(c.dtype), 0)
+                    return jax.lax.dynamic_update_slice(
+                        c, patch + contrib[None], (pid, su, sv)), None
+
+                canvas, _ = jax.lax.scan(
+                    step, canvas, (subgrids, iu_c, iv_c, pl_c, vm_c))
+                planes = canvas[:, :N, :] \
+                    .at[:, :sgs, :].add(canvas[:, N:, :])
+                planes = planes[:, :, :N] \
+                    .at[:, :, :sgs].add(planes[:, :, N:])
+                planes = jax.lax.psum(planes, axis_name)
+
+                image = jnp.zeros((N, N), jnp.complex64)
+                for i, w_off in enumerate(w_offsets):
+                    g = ifft_shifted_norm(planes[i])
+                    image = image + kernel.grid_correct(g, 0, 0, w_off)
+                return image.real.astype(jnp.float32)
 
             fn = jax.jit(jax.shard_map(
                 body, mesh=mesh,
                 in_specs=(P(axis_name), P(axis_name), P(axis_name),
                           P(None, axis_name), P(axis_name), P(axis_name),
-                          P(), P()),
+                          P(axis_name), P(axis_name), P(axis_name),
+                          P(axis_name), P(axis_name), P(), P()),
                 out_specs=P(), check_vma=False))
             self._sharded_cache[key] = fn
         return fn(vre, vim, self.wk, self.ubase, self.vband,
-                  self.block_bucket, self.ladder_grid, self.pref_grid)
+                  meta["bb_local"], meta["t0"], meta["iu_eff"],
+                  meta["iv_eff"], meta["pidx"], meta["vmask"],
+                  self.ladder_grid, meta["pref_g_pad"])
 
     def grid_sharded(self, vis: Array, mesh,
                      axis_name: str = "rows") -> Array:
@@ -809,20 +944,72 @@ class PackedGridder:
         self._check_mesh(mesh)
         key = ("degrid", self._mesh_key(mesh, axis_name))
         fn = self._sharded_cache.get(key)
+        n = int(mesh.devices.size)
+        meta = self._shard_meta(n)
         if fn is None:
-            def body(image_r, wkt_c, ubase_c, vbt_c, bb_c, ladder, pref):
-                return self._degrid_impl(image_r, wkt_c, ubase_c, vbt_c,
-                                         bb_c, ladder, pref)
+            pplan = self.pplan
+            plan = pplan.wplan
+            sgs = plan.subgrid_size
+            N = plan.image_size
+            tp = meta["tp"]
+            w_offsets = self._plane_offsets()
+            kernel = self._kernel
+
+            def body(image_r, wkt_c, ubase_c, vbt_c, p_loc_c, g_c, hv_c,
+                     t0_c, iu_c, iv_c, pl_c, ladder, pref_pad):
+                # Replicated per-plane FFTs (few planes, image-sized);
+                # everything per-task below runs on the shard's own
+                # task range only.
+                plane_stack = jnp.stack([
+                    fft_shifted(kernel.degrid_correct(
+                        image_r.astype(jnp.complex64), 0, 0, w_off))
+                    for w_off in w_offsets])
+                canvas = jnp.zeros(
+                    (plane_stack.shape[0], N + sgs, N + sgs),
+                    jnp.complex64)
+                canvas = canvas.at[:, :N, :N].set(plane_stack)
+                canvas = canvas.at[:, N:, :N].set(plane_stack[:, :sgs])
+                canvas = canvas.at[:, :N, N:].set(
+                    plane_stack[:, :, :sgs])
+                canvas = canvas.at[:, N:, N:].set(
+                    plane_stack[:, :sgs, :sgs])
+
+                def cut(iu, iv, pid):
+                    su = jnp.mod(N // 2 - sgs // 2 + iu, N)
+                    sv = jnp.mod(N // 2 - sgs // 2 + iv, N)
+                    return jax.lax.dynamic_slice(
+                        canvas, (pid, su, sv), (1, sgs, sgs))[0]
+
+                subgrids = jax.vmap(cut)(iu_c, iv_c, pl_c)
+                subgrids = ifft_shifted_norm(subgrids)
+                z = jnp.zeros((), t0_c.dtype)
+                pref_local = jax.lax.dynamic_slice(
+                    pref_pad, (t0_c[0], z, z), (tp, sgs, sgs))
+                layers = fft_shifted(
+                    (subgrids * pref_local)[:, None, :, :]
+                    * ladder[None])
+                st = jnp.stack([layers.real.astype(jnp.float32),
+                                layers.imag.astype(jnp.float32)])
+                st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8),
+                                  (0, 0)))
+                st = st.reshape(2, tp * pplan.num_layers, sgs + 8, sgs)
+                return degrid_fused_pallas(
+                    st, p_loc_c, g_c, hv_c, ubase_c, vbt_c, wkt_c,
+                    plan.w_support, block_v=pplan.block_v,
+                    fast=self.fast, interpret=self.interpret)
 
             fn = jax.jit(jax.shard_map(
                 body, mesh=mesh,
                 in_specs=(P(), P(None, axis_name), P(None, axis_name),
-                          P(None, axis_name), P(axis_name), P(), P()),
+                          P(None, axis_name), P(axis_name), P(axis_name),
+                          P(axis_name), P(axis_name), P(axis_name),
+                          P(axis_name), P(axis_name), P(), P()),
                 out_specs=P(axis_name), check_vma=False))
             self._sharded_cache[key] = fn
         return fn(image, self.wk_t, self.ubase, self.vband_t,
-                  self._degrid_indices(), self.ladder_degrid,
-                  self.pref_degrid)
+                  meta["p_idx_local"], self.g_idx, self.hv_idx,
+                  meta["t0"], meta["iu_eff"], meta["iv_eff"],
+                  meta["pidx"], self.ladder_degrid, meta["pref_d_pad"])
 
     def degrid_sharded(self, image: Array, mesh,
                        axis_name: str = "rows") -> Array:
