@@ -9,7 +9,13 @@ through jitted grid/CLEAN/degrid graphs, optionally over a device mesh
 
 from .ingest import ingest_flag_and_weight, ingest_to_solver, \
     station_beam_power
-from .checkpoint import load_result, load_state, save_result, save_state
+from .checkpoint import (
+    SolverCheckpointer,
+    load_result,
+    load_state,
+    save_result,
+    save_state,
+)
 from .major_cycle import (
     ImagingResult,
     dirty_and_psf,
@@ -19,6 +25,7 @@ from .major_cycle import (
 
 __all__ = [
     "ImagingResult",
+    "SolverCheckpointer",
     "dirty_and_psf",
     "ingest_flag_and_weight",
     "ingest_to_solver",

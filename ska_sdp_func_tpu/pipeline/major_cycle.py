@@ -231,6 +231,7 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        border: Optional[int] = None,
                        mgain: float = 0.8,
                        checkpoint_path: Optional[str] = None,
+                       checkpointer=None,
                        weights: Optional[Array] = None,
                        clean_algorithm: str = "hogbom",
                        scale_list: Tuple[int, ...] = (0, 8, 16),
@@ -249,8 +250,10 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     sparse uv coverage and the major loop diverges.
 
     With ``checkpoint_path`` the solver state is persisted after every
-    major cycle and resumed from disk on restart (see
-    :mod:`.checkpoint`).
+    major cycle and resumed from disk on restart (single-file ``.npz``);
+    ``checkpointer`` accepts a :class:`.checkpoint.SolverCheckpointer`
+    (orbax step directory, multi-host capable) instead — pass at most
+    one of the two (see :mod:`.checkpoint`).
 
     ``bucketed=True`` (single-chip) bucket-sorts the visibilities by
     (w-plane, sub-grid) task once and grids/degrids each task's own
@@ -369,6 +372,9 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     residual_img = jnp.zeros_like(model)
     peak_history: List[float] = []
     start_cycle = 0
+    if checkpoint_path is not None and checkpointer is not None:
+        raise ValueError(
+            "pass at most one of checkpoint_path / checkpointer")
     if checkpoint_path is not None:
         import os
 
@@ -378,6 +384,12 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                 load_state(checkpoint_path)
             model = model.astype(rdtype)
             residual_img = residual_img.astype(rdtype)
+    elif checkpointer is not None and checkpointer.latest_step() is not None:
+        model, residual_img, start_cycle, peak_history, _ = \
+            checkpointer.restore(
+                template={"model": model, "residual": residual_img})
+        model = model.astype(rdtype)
+        residual_img = residual_img.astype(rdtype)
 
     for cycle in range(start_cycle, n_major):
         if packed is not None:
@@ -418,6 +430,9 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
         if checkpoint_path is not None:
             save_state(checkpoint_path, model, residual_img, cycle + 1,
                        peak_history)
+        elif checkpointer is not None:
+            checkpointer.save(cycle + 1, model, residual_img,
+                              peak_history)
         if peak_history[-1] < threshold:
             break
 
