@@ -43,10 +43,12 @@ import jax.numpy as jnp
 
 from ..fourier_transforms.fft import fft_shifted, ifft_shifted, \
     ifft_shifted_norm
+from ..grid_data.grid_correct import grid_correct_pswf
 from ..grid_data.gridder_utils import (
     subgrid_add_static,
     subgrid_cut_out_static,
 )
+from ..grid_data.kernels import lm_to_n
 from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
@@ -101,6 +103,58 @@ class PackedPlan:
 
 def _round_half_away_np(x):
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _plane_screens(kernel, w_offsets, inverse: bool):
+    """Stacked w-stacking screens ``[P, G, G]`` (complex64, in-jit).
+
+    ``exp(+i 2 pi w_step w_offset n)`` per plane when ``inverse`` (the
+    grid correction multiplies by the screen,
+    sdp_gridder_grid_correct.cpp:77-115); the degrid correction divides,
+    i.e. multiplies by the conjugate. Batching the screens lets all
+    per-plane corrections ride ONE image-sized elementwise pass and the
+    plane FFTs ONE batched transform instead of a per-plane loop.
+    """
+    size = kernel.image_size
+    pl = jnp.arange(size) - size // 2
+    l = pl * (kernel.theta / size)
+    ll, mm = jnp.meshgrid(l, l, indexing="ij")
+    n = lm_to_n(ll, mm, kernel.shear_u, kernel.shear_v)
+    ang = (2.0 * jnp.pi * kernel.w_step) * n
+    offs = jnp.asarray(np.asarray(w_offsets, np.float64), ang.dtype)
+    ang = ang[None] * offs[:, None, None]
+    if not inverse:
+        ang = -ang
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(
+        jnp.complex64)
+
+
+def _planes_to_image(kernel, planes, w_offsets):
+    """Per-w-plane uv grids ``[P, G, G]`` -> corrected real image.
+
+    One batched iFFT + one stacked-screen contraction + the shared
+    PSWF correction (hoisted out of the plane sum — it is w-independent,
+    sdp_gridder_grid_correct.cpp:19-74).
+    """
+    stack = ifft_shifted_norm(planes)
+    screens = _plane_screens(kernel, w_offsets, inverse=True)
+    image = jnp.einsum("puv,puv->uv", screens, stack)
+    image = grid_correct_pswf(
+        kernel.image_size, kernel.theta, kernel.w_step, kernel.shear_u,
+        kernel.shear_v, kernel.support, kernel.w_support, image)
+    return image.real.astype(jnp.float32)
+
+
+def _image_to_plane_stack(kernel, image, w_offsets):
+    """Real image -> per-w-plane degrid-corrected uv grids ``[P, G, G]``
+    via one shared PSWF multiply, one stacked conjugate screen and ONE
+    batched FFT (mirror of :func:`_planes_to_image`)."""
+    base = grid_correct_pswf(
+        kernel.image_size, kernel.theta, kernel.w_step, kernel.shear_u,
+        kernel.shear_v, kernel.support, kernel.w_support,
+        image.astype(jnp.complex64))
+    screens = _plane_screens(kernel, w_offsets, inverse=False)
+    return fft_shifted(base[None] * screens)
 
 
 # Per-block fixed kernel cost expressed in visibility-equivalents
@@ -588,21 +642,16 @@ class PackedGridder:
         plan = pplan.wplan
         image_size = plan.image_size
         sg_factor = (image_size / plan.subgrid_size) ** 2
-        per_plane = {}
+        per_plane = {iw: jnp.zeros((image_size, image_size),
+                                   jnp.complex64)
+                     for iw in pplan.w_plane_ids}
         for t, task in enumerate(pplan.tasks):
-            g = per_plane.get(task.iw)
-            if g is None:
-                g = jnp.zeros((image_size, image_size), jnp.complex64)
             per_plane[task.iw] = subgrid_add_static(
-                g, -task.iu * plan.eff_sg_size,
+                per_plane[task.iw], -task.iu * plan.eff_sg_size,
                 -task.iv * plan.eff_sg_size, subgrids[t], sg_factor)
-        image = jnp.zeros((image_size, image_size), jnp.complex64)
-        for iw, g in per_plane.items():
-            g = ifft_shifted_norm(g)
-            g = self._kernel.grid_correct(
-                g, 0, 0, int(np.trunc(iw * plan.w_tower_height)))
-            image = image + g
-        return image.real.astype(jnp.float32)
+        planes = jnp.stack([per_plane[iw] for iw in pplan.w_plane_ids])
+        return _planes_to_image(self._kernel, planes,
+                                self._plane_offsets())
 
     def _grid_impl(self, vre, vim, wk, ubase, vband, block_bucket,
                    visited, ladder, pref):
@@ -632,16 +681,13 @@ class PackedGridder:
         sgs = plan.subgrid_size
         num_tasks = len(pplan.tasks)
 
-        plane_grids = {}
-        for iw in pplan.w_plane_ids:
-            g = self._kernel.degrid_correct(
-                image.astype(jnp.complex64), 0, 0,
-                int(np.trunc(iw * plan.w_tower_height)))
-            plane_grids[iw] = fft_shifted(g)
-
+        plane_stack = _image_to_plane_stack(self._kernel, image,
+                                            self._plane_offsets())
+        plane_pos = {iw: i for i, iw in enumerate(pplan.w_plane_ids)}
         subgrids = jnp.stack([
             subgrid_cut_out_static(
-                plane_grids[task.iw], task.iu * plan.eff_sg_size,
+                plane_stack[plane_pos[task.iw]],
+                task.iu * plan.eff_sg_size,
                 task.iv * plan.eff_sg_size, sgs)
             for task in pplan.tasks]).astype(jnp.complex64)
         subgrids = ifft_shifted_norm(subgrids)
@@ -912,12 +958,7 @@ class PackedGridder:
                 planes = planes[:, :, :N] \
                     .at[:, :, :sgs].add(planes[:, :, N:])
                 planes = jax.lax.psum(planes, axis_name)
-
-                image = jnp.zeros((N, N), jnp.complex64)
-                for i, w_off in enumerate(w_offsets):
-                    g = ifft_shifted_norm(planes[i])
-                    image = image + kernel.grid_correct(g, 0, 0, w_off)
-                return image.real.astype(jnp.float32)
+                return _planes_to_image(kernel, planes, w_offsets)
 
             fn = jax.jit(jax.shard_map(
                 body, mesh=mesh,
@@ -957,13 +998,11 @@ class PackedGridder:
 
             def body(image_r, wkt_c, ubase_c, vbt_c, p_loc_c, g_c, hv_c,
                      t0_c, iu_c, iv_c, pl_c, ladder, pref_pad):
-                # Replicated per-plane FFTs (few planes, image-sized);
-                # everything per-task below runs on the shard's own
-                # task range only.
-                plane_stack = jnp.stack([
-                    fft_shifted(kernel.degrid_correct(
-                        image_r.astype(jnp.complex64), 0, 0, w_off))
-                    for w_off in w_offsets])
+                # Replicated per-plane FFTs (few planes, image-sized,
+                # batched); everything per-task below runs on the
+                # shard's own task range only.
+                plane_stack = _image_to_plane_stack(kernel, image_r,
+                                                    w_offsets)
                 canvas = jnp.zeros(
                     (plane_stack.shape[0], N + sgs, N + sgs),
                     jnp.complex64)
