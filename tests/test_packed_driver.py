@@ -218,6 +218,7 @@ def test_native_planner_matches_numpy(scenario, monkeypatch):
     assert plan_native.digest == plan_numpy.digest
 
 
+@pytest.mark.slow
 def test_boundary_tie_assignment_parity():
     """Adversarial uvws exactly on sub-grid/w-slab box edges.
 

@@ -103,6 +103,7 @@ def test_sharded_degrid_matches_single_chip(scenario, n_dev):
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_degrid_row_count_not_divisible(scenario):
     """Row padding: 100 rows over 8 devices needs 4 pad rows."""
     s = scenario

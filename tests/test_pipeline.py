@@ -72,6 +72,7 @@ def test_dirty_and_psf(scenario):
     assert abs(ix - (IMAGE_SIZE // 2 - 9)) <= 1
 
 
+@pytest.mark.slow
 def test_major_cycle_recovers_sources(scenario):
     s = scenario
     result = major_cycle_imager(
@@ -178,6 +179,7 @@ def test_orbax_checkpointer_roundtrip(tmp_path):
                                    np.asarray(model) * 3)
 
 
+@pytest.mark.slow
 def test_checkpointer_solver_resume(scenario, tmp_path):
     """Solver resume through the orbax checkpointer matches the
     uninterrupted solve exactly (mirrors test_checkpoint_resume)."""

@@ -97,6 +97,7 @@ def test_grid_all_matches_idft_image(scenario):
     assert err < 1e-3, f"relative interior error {err}"
 
 
+@pytest.mark.slow
 def test_grid_degrid_operator_consistency(scenario):
     """<A x, A x> via degrid == <x, A^T A x> via grid of the degrided vis
     (weak adjointness: corrections match on both sides)."""
