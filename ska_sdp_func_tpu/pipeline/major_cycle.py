@@ -237,7 +237,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                        scale_list: Tuple[int, ...] = (0, 8, 16),
                        ms_scale_bias: float = 0.0,
                        bucketed: bool = False,
-                       fast: bool = False) -> ImagingResult:
+                       fast: bool = False,
+                       verbosity: int = 0) -> ImagingResult:
     """Run the full major/minor-cycle imaging solve.
 
     All heavy stages are jitted; with ``mesh`` the grid/degrid stages run
@@ -278,7 +279,22 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
     model's kernel windows (the standalone reference-faithful
     :func:`~ska_sdp_func_tpu.clean.ms_clean_cornwell` keeps the
     reference's raw even-size convolution alignment).
+
+    ``verbosity > 0`` logs a per-stage timing report after the solve
+    (the reference driver's report_timing,
+    sdp_grid_wstack_wtower.cpp:169-213). Stages use the DEVICE timer
+    backend — each section blocks on its outputs before the clock
+    stops, so on direct-attached hardware the numbers are device time
+    per stage. On tunnelled attachments ``block_until_ready`` can
+    return before pipelined chains complete; use
+    :meth:`PackedGridder.report_timing` (chained executions + readback)
+    for kernel-level stage splits there.
     """
+    from ..utility.logging import log_info
+    from ..utility.timers import Timers, TimerType
+
+    timers = Timers("major_cycle_imager", TimerType.DEVICE) \
+        if verbosity > 0 else None
     vis = jnp.asarray(vis)
     uvw = jnp.asarray(uvw)
     image_size = plan.image_size
@@ -289,6 +305,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
 
     if border is None:
         border = image_size // 16
+    if timers:
+        timers.push("planning")
     bucket = None
     packed = None
     if bucketed:
@@ -339,6 +357,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
         weights = jnp.asarray(weights)
         psf_vis = weights.astype(vis.dtype)
         vis = _mul(vis, psf_vis)
+    if timers:
+        timers.pop_push("psf grid + sort")
     vis_sorted = None
     if packed is not None:
         gri, psf_gri = packed
@@ -357,6 +377,9 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
         psf = _grid(psf_plan, psf_kernel, psf_vis, uvw, mesh)
     peak = psf[image_size, image_size]  # centre of the 2N PSF
     psf = _norm_mask(psf, peak, 2 * border)
+    if timers:
+        timers.sync(psf)
+        timers.pop()
 
     if clean_algorithm == "msclean":
         minor = _make_msclean_minor(psf, tuple(int(s) for s in scale_list),
@@ -392,6 +415,8 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
         residual_img = residual_img.astype(rdtype)
 
     for cycle in range(start_cycle, n_major):
+        if timers:
+            timers.push("degrid predict")
         if packed is not None:
             # Sorted-stream residual: no per-iteration permutation
             # gathers — degrid, subtract and grid all stay in the
@@ -403,6 +428,9 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
             res_re, res_im = _packed_residual(vis_sorted[0],
                                               vis_sorted[1], pred,
                                               w_sorted)
+            if timers:
+                timers.sync(res_re, res_im)
+                timers.pop_push("grid residual")
             if mesh is not None:
                 raw = gri.grid_sorted_sharded(res_re, res_im, mesh)
             else:
@@ -417,16 +445,24 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
                 # dirty = A^T W (V - A model): weight the prediction too.
                 pred = _mul(pred, psf_vis)
             res_vis = _sub(vis, pred)
+            if timers:
+                timers.sync(res_vis)
+                timers.pop_push("grid residual")
             if bucket is not None:
                 raw = _bucketed_grid(bucket, res_vis, uvw)
             else:
                 raw = _grid(plan, kernel, res_vis, uvw, mesh)
         dirty = _norm_mask(raw, peak, border)
+        if timers:
+            timers.sync(dirty)
+            timers.pop_push("minor cycle")
         stop = _stop_level(dirty, jnp.asarray(threshold, rdtype),
                            jnp.asarray(mgain, rdtype))
         delta, residual_img = minor(dirty, stop)
         model = _add(model, delta)
         peak_history.append(float(_abs_max(residual_img)))
+        if timers:
+            timers.pop()
         if checkpoint_path is not None:
             save_state(checkpoint_path, model, residual_img, cycle + 1,
                        peak_history)
@@ -436,9 +472,16 @@ def major_cycle_imager(plan: WStackPlan, vis: Array, uvw: Array,
         if peak_history[-1] < threshold:
             break
 
+    if timers:
+        timers.push("restore")
     cbeam = create_cbeam(jnp.asarray(cbeam_details, rdtype),
                          int(cbeam_details[3]))
     restored = _restore(model, cbeam, residual_img)
+    if timers:
+        timers.sync(restored)
+        timers.pop()
+        timers.report(print_fn=lambda text: [
+            log_info("%s", line) for line in text.splitlines()])
     return ImagingResult(model=model, residual=residual_img,
                          restored=restored, peak_history=peak_history)
 

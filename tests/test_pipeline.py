@@ -311,3 +311,17 @@ def test_station_beam_power_normalised():
     # Boresight gain is 1 (normalised beamformer), off-axis below it.
     np.testing.assert_allclose(p[0], 1.0, rtol=1e-6)
     assert p[1] < p[0]
+
+
+def test_solver_verbosity_stage_report(scenario, capsys):
+    """verbosity>0 logs the per-stage Timers report (the reference
+    driver's report_timing, sdp_grid_wstack_wtower.cpp:169-213)."""
+    s = scenario
+    major_cycle_imager(
+        s["plan"], jnp.asarray(s["vis"]), jnp.asarray(s["uvw"]),
+        n_major=1, cycle_limit=20, bucketed=True, verbosity=1)
+    out = capsys.readouterr().out
+    for stage in ("major_cycle_imager", "planning", "psf grid + sort",
+                  "degrid predict", "grid residual", "minor cycle",
+                  "restore"):
+        assert stage in out, f"missing stage {stage!r} in report"
