@@ -329,6 +329,40 @@ def test_plan_packed_rejects_oversize_frac():
         plan_packed(plan, uvw)
 
 
+def test_plan_packed_rejects_unaligned_subgrid():
+    from ska_sdp_func_tpu.parallel.packed import plan_packed
+
+    plan, uvw = _tiny_plan(subgrid_size=32)
+    with pytest.raises(SdpInvalidArgumentError):
+        plan_packed(plan, uvw)
+
+
+def test_plan_packed_rejects_wide_support():
+    from ska_sdp_func_tpu.parallel import plan_wstack
+    from ska_sdp_func_tpu.parallel.packed import plan_packed
+
+    rng = np.random.default_rng(0)
+    uvw = rng.uniform(-1, 1, (20, 3))
+    uvw[:, :2] *= 0.3 * 64 / 2 / 0.002
+    plan = plan_wstack(uvw, C_0, C_0 / 100, 2, 64, 128, 0.002, 100.0,
+                       support=10)
+    with pytest.raises(SdpInvalidArgumentError):
+        plan_packed(plan, uvw)
+
+
+def test_plan_packed_rejects_tall_w_support():
+    from ska_sdp_func_tpu.parallel import plan_wstack
+    from ska_sdp_func_tpu.parallel.packed import plan_packed
+
+    rng = np.random.default_rng(0)
+    uvw = rng.uniform(-1, 1, (20, 3))
+    uvw[:, :2] *= 0.3 * 64 / 2 / 0.002
+    plan = plan_wstack(uvw, C_0, C_0 / 100, 2, 64, 128, 0.002, 100.0,
+                       w_support=6)
+    with pytest.raises(SdpInvalidArgumentError):
+        plan_packed(plan, uvw)
+
+
 def test_wstack_grid_all_requires_image_template():
     from ska_sdp_func_tpu.grid_data.wstack import wstack_wtower_grid_all
 
