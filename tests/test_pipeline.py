@@ -325,3 +325,30 @@ def test_solver_verbosity_stage_report(scenario, capsys):
                   "degrid predict", "grid residual", "minor cycle",
                   "restore"):
         assert stage in out, f"missing stage {stage!r} in report"
+
+
+def test_ingest_sharded_matches_single():
+    """Baseline-sharded ingest == single-device ingest (pad baselines
+    to the mesh size, trim, psum only the flagged fraction)."""
+    from ska_sdp_func_tpu.parallel import make_mesh
+    from ska_sdp_func_tpu.pipeline.ingest import (
+        ingest_flag_and_weight,
+        ingest_flag_and_weight_sharded,
+    )
+
+    rng = np.random.default_rng(3)
+    t, b, c, p = 8, 21, 16, 2    # b % 8 != 0: exercises the padding
+    vis4d = (rng.standard_normal((t, b, c, p))
+             + 1j * rng.standard_normal((t, b, c, p)))
+    vis4d[2, 5, :, 0] += 180.0    # broadband RFI
+    w4d = np.ones(vis4d.shape)
+    flags0, w0, frac0 = ingest_flag_and_weight(
+        jnp.asarray(vis4d), jnp.asarray(w4d))
+    mesh = make_mesh(8)
+    flags1, w1, frac1 = ingest_flag_and_weight_sharded(
+        jnp.asarray(vis4d), jnp.asarray(w4d), mesh)
+    np.testing.assert_array_equal(np.asarray(flags0),
+                                  np.asarray(flags1))
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    np.testing.assert_allclose(float(frac0), float(frac1), rtol=1e-6)
+    assert float(frac1) > 0
