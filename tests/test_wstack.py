@@ -113,3 +113,67 @@ def test_grid_degrid_operator_consistency(scenario):
     lhs = np.vdot(np.asarray(vis), np.asarray(vis)).real
     rhs = np.vdot(np.asarray(back), np.asarray(x)).real
     np.testing.assert_allclose(lhs, rhs, rtol=1e-2)
+
+
+def test_wstack_engine_packed_matches_reference():
+    """engine="packed" routes the reference-API drivers through the
+    packed production path; f32 results match the reference loop to
+    kernel accuracy, and incompatible geometry raises."""
+    from ska_sdp_func_tpu.grid_data.wstack import (
+        wstack_wtower_degrid_all,
+        wstack_wtower_grid_all,
+    )
+
+    rng = np.random.default_rng(5)
+    image_size, subgrid = 256, 128
+    theta, w_step, height = 0.002, 100.0, 4.0
+    rows, chans = 200, 2
+    uvw = rng.uniform(-1, 1, (rows, 3))
+    uvw[:, :2] *= 0.3 * image_size / 2 / theta
+    uvw[:, 2] *= 1.2 * w_step * height
+    vis = (rng.standard_normal((rows, chans))
+           + 1j * rng.standard_normal((rows, chans))).astype(np.complex64)
+    freq0, dfreq = C_0, C_0 / 100
+    geom = dict(subgrid_size=subgrid, theta=theta, w_step=w_step,
+                shear_u=0.0, shear_v=0.0, support=8,
+                oversampling=16 * 1024, w_support=4,
+                w_oversampling=16 * 1024, subgrid_frac=2.0 / 3.0,
+                w_tower_height=height)
+    tmpl = np.zeros((image_size, image_size), np.float32)
+
+    ref = np.asarray(wstack_wtower_grid_all(
+        jnp.asarray(vis), freq0, dfreq, jnp.asarray(uvw), image=tmpl,
+        **geom))
+    got = np.asarray(wstack_wtower_grid_all(
+        jnp.asarray(vis), freq0, dfreq, jnp.asarray(uvw), image=tmpl,
+        engine="packed", **geom))
+    # The 1/PSWF grid correction diverges in the border ring; compare
+    # the interior (the reference's own border-excluded comparison,
+    # tests/grid_data/test_gridder_wtower_uvw.py:2188-2193).
+    b = image_size // 8
+    inner = np.s_[b:-b, b:-b]
+    scale = np.abs(ref[inner]).max()
+    assert np.abs(got[inner] - ref[inner]).max() < 2e-3 * scale
+
+    sky = np.zeros((image_size, image_size), np.float32)
+    sky[130, 140] = 1.0
+    vref = np.asarray(wstack_wtower_degrid_all(
+        jnp.asarray(sky), freq0, dfreq, jnp.asarray(uvw),
+        vis=vis, **geom))
+    vgot = np.asarray(wstack_wtower_degrid_all(
+        jnp.asarray(sky), freq0, dfreq, jnp.asarray(uvw),
+        vis=vis, engine="packed", **geom))
+    vscale = np.abs(vref).max()
+    assert np.abs(vgot - vref).max() < 2e-3 * vscale
+
+    # auto on a single-precision template with compatible geometry
+    # agrees with packed; incompatible geometry raises for "packed".
+    auto = np.asarray(wstack_wtower_grid_all(
+        jnp.asarray(vis), freq0, dfreq, jnp.asarray(uvw), image=tmpl,
+        engine="auto", **geom))
+    np.testing.assert_array_equal(auto[inner], got[inner])
+    bad = dict(geom, subgrid_size=96)
+    with pytest.raises(Exception):
+        wstack_wtower_grid_all(
+            jnp.asarray(vis), freq0, dfreq, jnp.asarray(uvw),
+            image=tmpl, engine="packed", **bad)
