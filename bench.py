@@ -27,6 +27,8 @@ star.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -43,12 +45,57 @@ import jax.numpy as jnp
 
 C_0 = 299792458.0
 
+_PROBE = """
+import time, jax, jax.numpy as jnp
+import numpy as np
+x = jnp.asarray(np.arange(8, dtype=np.float32))
+print("ok", float(jax.jit(lambda a: jnp.sum(a * 2))(x)))
+"""
+
+
+def wait_for_chip(max_wait_s: float = 1500.0) -> bool:
+    """Block until the attached device answers a tiny jitted probe.
+
+    The tunnelled TPU attachment wedges for minutes at a time (first
+    H2D hangs or returns UNIMPLEMENTED) and a wedged transfer POISONS
+    the issuing process — so probe in a SUBPROCESS with a timeout and
+    only touch the device from this process once a probe succeeds.
+    No-op on CPU backends. Returns True when healthy.
+    """
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return True
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", _PROBE], timeout=120,
+                capture_output=True, text=True,
+                env=dict(os.environ,
+                         JAX_COMPILATION_CACHE_DIR=os.environ[
+                             "JAX_COMPILATION_CACHE_DIR"]))
+            if res.returncode == 0 and "ok" in res.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(f"# chip probe still failing after {attempt} attempts"
+                  f" ({max_wait_s:.0f}s); proceeding anyway",
+                  file=sys.stderr)
+            return False
+        time.sleep(20)
+
+
 IMAGE, SUBGRID = 512, 128
 THETA, W_STEP, HEIGHT = 0.002, 100.0, 4.0
 ROWS, CHANS = 16384, 64
 
 
 def main():
+    wait_for_chip()
     from ska_sdp_func_tpu.clean.hogbom import _minor_cycle
     from ska_sdp_func_tpu.parallel import plan_wstack
     from ska_sdp_func_tpu.parallel.packed import (
