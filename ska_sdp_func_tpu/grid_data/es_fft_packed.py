@@ -90,7 +90,6 @@ class EsPackedPlan:
                 sort_index=jnp.asarray(a["sort_index"].astype(np.int32)),
                 valid=jnp.asarray(a["valid"]),
                 flip=jnp.asarray(a["flip"]),
-                kw=jnp.asarray(a["kw"]),
                 kw_t=jnp.asarray(np.ascontiguousarray(a["kw"].T)),
                 block_bucket=jnp.asarray(a["block_bucket"]),
                 inv_index=jnp.asarray(a["inv_index"].astype(np.int32)),
@@ -308,13 +307,13 @@ def grid_es_packed(plan, ep: EsPackedPlan, uvw, freq_hz, vis, weight,
                                        interpret))
         ep._jits[key] = fn
     return fn(vis, weight, dirty_image, dev["sort_index"],
-              dev["valid"], dev["flip"], dev["kw"],
+              dev["valid"], dev["flip"], dev["kw_t"],
               dev["block_bucket"], dev["ubase"], dev["vband"],
               dev["screens_grid"], dev["correction"])
 
 
 def _grid_es_impl(plan, ep, interpret, vis, weight, dirty_image,
-                  sort_index, valid, flip, kw, block_bucket, ubase,
+                  sort_index, valid, flip, kw_t, block_bucket, ubase,
                   vband, screens, correction):
     G = plan.grid_size
     size = plan.image_size
@@ -326,8 +325,10 @@ def _grid_es_impl(plan, ep, interpret, vis, weight, dirty_image,
     vre = jnp.where(valid, vis_s.real, 0.0).astype(jnp.float32)
     vim = jnp.where(valid, vis_s.imag * flip, 0.0) \
         .astype(jnp.float32)
-    scales = jnp.concatenate([kw * vre[:, None],
-                              kw * vim[:, None]], axis=1).T
+    # kw_t is pre-transposed [Sw, V]: broadcast multiply in the
+    # kernel operand layout, no per-call V-major relayout.
+    scales = jnp.concatenate([kw_t * vre[None, :],
+                              kw_t * vim[None, :]], axis=0)
 
     dirty = jnp.zeros((size, size), jnp.float32)
     acc = jnp.zeros((2, ep.num_w_grids, ep.rows_pad, ep.lanes_pad),

@@ -547,9 +547,12 @@ class PackedGridder:
                 # single-pass bf16 MXU dots — ~2e-3 kernel accuracy).
                 vband = vband.astype(jnp.bfloat16)
                 vband_t = vband_t.astype(jnp.bfloat16)
-            return wk, wk.T, ubase, vband, vband_t
+            # wk ships transposed [Sw, V]: both kernels consume the
+            # w-taps with the visibility on lanes, and the grid scale
+            # build avoids a per-call V-major relayout.
+            return wk.T, ubase, vband, vband_t
 
-        (self.wk, self.wk_t, self.ubase, self.vband,
+        (self.wk_t, self.ubase, self.vband,
          self.vband_t) = jax.jit(_device_bands)(
             jnp.asarray(arrays["u_frac"]), jnp.asarray(arrays["v_frac"]),
             jnp.asarray(arrays["w_row"]), jnp.asarray(arrays["u_off"]),
@@ -615,10 +618,13 @@ class PackedGridder:
     # Grid pipeline stages (composable so report_timing can measure
     # marginal device time per stage; see _grid_impl for the flow).
 
-    def _stage_kernel(self, vre, vim, wk, ubase, vband, block_bucket):
+    def _stage_kernel(self, vre, vim, wk_t, ubase, vband, block_bucket):
         pplan = self.pplan
-        scales = jnp.concatenate([wk * vre[:, None], wk * vim[:, None]],
-                                 axis=1).T
+        # wk_t is pre-transposed [Sw, V]: the scale build is a pure
+        # broadcast multiply in the kernel's [2*Sw, V] operand layout —
+        # the [V, Sw] form needed a V-major relayout every call.
+        scales = jnp.concatenate([wk_t * vre[None, :],
+                                  wk_t * vim[None, :]], axis=0)
         return grid_packed_pallas(
             block_bucket, ubase, vband, scales, pplan.num_buckets,
             pplan.wplan.subgrid_size, pplan.wplan.w_support,
@@ -653,9 +659,9 @@ class PackedGridder:
         return _planes_to_image(self._kernel, planes,
                                 self._plane_offsets())
 
-    def _grid_impl(self, vre, vim, wk, ubase, vband, block_bucket,
+    def _grid_impl(self, vre, vim, wk_t, ubase, vband, block_bucket,
                    visited, ladder, pref):
-        wins = self._stage_kernel(vre, vim, wk, ubase, vband,
+        wins = self._stage_kernel(vre, vim, wk_t, ubase, vband,
                                   block_bucket)
         layers = self._stage_fold(wins, visited)
         subgrids = self._stage_drain(layers, ladder, pref)
@@ -663,9 +669,10 @@ class PackedGridder:
 
     def grid_sorted(self, vre: Array, vim: Array) -> Array:
         """Sorted-stream (re, im) f32 -> real dirty image (f32)."""
-        return self._grid_jit(vre, vim, self.wk, self.ubase, self.vband,
-                              self.block_bucket, self.visited,
-                              self.ladder_grid, self.pref_grid)
+        return self._grid_jit(vre, vim, self.wk_t, self.ubase,
+                              self.vband, self.block_bucket,
+                              self.visited, self.ladder_grid,
+                              self.pref_grid)
 
     def grid(self, vis: Array) -> Array:
         """[rows, chan] visibilities -> real dirty image."""
@@ -739,12 +746,14 @@ class PackedGridder:
 
         from ..utility.timers import TimerType, Timers
 
-        args = (self.wk, self.ubase, self.vband, self.block_bucket,
+        args = (self.wk_t, self.ubase, self.vband, self.block_bucket,
                 self.visited, self.ladder_grid, self.pref_grid)
 
         def upto(n):
-            def f(vre, vim, wk, ubase, vband, bb, visited, ladder, pref):
-                wins = self._stage_kernel(vre, vim, wk, ubase, vband, bb)
+            def f(vre, vim, wkt, ubase, vband, bb, visited, ladder,
+                  pref):
+                wins = self._stage_kernel(vre, vim, wkt, ubase, vband,
+                                          bb)
                 if n == 0:
                     return wins
                 layers = self._stage_fold(wins, visited)
@@ -915,11 +924,11 @@ class PackedGridder:
             w_offsets = self._plane_offsets()
             kernel = self._kernel
 
-            def body(vre_c, vim_c, wk_c, ubase_c, vband_c, bb_loc_c,
+            def body(vre_c, vim_c, wkt_c, ubase_c, vband_c, bb_loc_c,
                      t0_c, iu_c, iv_c, pl_c, vm_c, ladder, pref_pad):
                 scales = jnp.concatenate(
-                    [wk_c * vre_c[:, None], wk_c * vim_c[:, None]],
-                    axis=1).T
+                    [wkt_c * vre_c[None, :], wkt_c * vim_c[None, :]],
+                    axis=0)
                 wins = grid_packed_pallas(
                     bb_loc_c, ubase_c, vband_c, scales, tp * S * G,
                     sgs, plan.w_support, block_v=pplan.block_v,
@@ -962,13 +971,14 @@ class PackedGridder:
 
             fn = jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(axis_name), P(axis_name), P(axis_name),
-                          P(None, axis_name), P(axis_name), P(axis_name),
+                in_specs=(P(axis_name), P(axis_name),
+                          P(None, axis_name), P(None, axis_name),
+                          P(axis_name), P(axis_name),
                           P(axis_name), P(axis_name), P(axis_name),
                           P(axis_name), P(axis_name), P(), P()),
                 out_specs=P(), check_vma=False))
             self._sharded_cache[key] = fn
-        return fn(vre, vim, self.wk, self.ubase, self.vband,
+        return fn(vre, vim, self.wk_t, self.ubase, self.vband,
                   meta["bb_local"], meta["t0"], meta["iu_eff"],
                   meta["iv_eff"], meta["pidx"], meta["vmask"],
                   self.ladder_grid, meta["pref_g_pad"])
