@@ -60,11 +60,12 @@ def wait_for_chip(max_wait_s: float = 1500.0) -> bool:
     H2D hangs or returns UNIMPLEMENTED) and a wedged transfer POISONS
     the issuing process — so probe in a SUBPROCESS with a timeout and
     only touch the device from this process once a probe succeeds.
-    No-op on CPU backends. Returns True when healthy.
+    No-op when the environment pins a CPU platform (decided WITHOUT
+    importing/initialising jax here — jax.default_backend() would open
+    the attachment in this process, defeating the isolation). Returns
+    True when healthy.
     """
-    import jax as _jax
-
-    if _jax.default_backend() == "cpu":
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return True
     deadline = time.time() + max_wait_s
     attempt = 0
@@ -73,10 +74,7 @@ def wait_for_chip(max_wait_s: float = 1500.0) -> bool:
         try:
             res = subprocess.run(
                 [sys.executable, "-c", _PROBE], timeout=120,
-                capture_output=True, text=True,
-                env=dict(os.environ,
-                         JAX_COMPILATION_CACHE_DIR=os.environ[
-                             "JAX_COMPILATION_CACHE_DIR"]))
+                capture_output=True, text=True)
             if res.returncode == 0 and "ok" in res.stdout:
                 return True
         except subprocess.TimeoutExpired:

@@ -74,6 +74,35 @@ def grid_correct_pswf(image_size: int, theta: float, w_step: float,
     return facet * jnp.asarray(scale, real_dtype)
 
 
+def w_screen_stack(image_size: int, theta: float, w_step: float,
+                   shear_u: float, shear_v: float, w_offsets,
+                   facet_offset_l: int = 0, facet_offset_m: int = 0,
+                   num_l: int = None, num_m: int = None,
+                   dtype=None):
+    """Stacked w-stacking screens ``exp(+i 2 pi w_step w_offset n)``.
+
+    The single source of the w-screen construction
+    (grid_corr_w_stack, sdp_gridder_grid_correct.cpp:77-115), batched
+    over a vector of plane offsets ``[P] -> [P, num_l, num_m]`` so the
+    per-plane corrections of the whole-image drivers ride one
+    image-sized elementwise pass (see
+    :func:`ska_sdp_func_tpu.parallel.packed._plane_screens`).
+    """
+    num_l = image_size if num_l is None else num_l
+    num_m = image_size if num_m is None else num_m
+    pl = jnp.arange(num_l) - num_l // 2 + facet_offset_l
+    pm = jnp.arange(num_m) - num_m // 2 + facet_offset_m
+    l = pl * (theta / image_size)
+    m = pm * (theta / image_size)
+    ll, mm = jnp.meshgrid(l, m, indexing="ij")
+    n = lm_to_n(ll, mm, shear_u, shear_v)
+    ang = (2.0 * jnp.pi * w_step) * n
+    offs = jnp.asarray(w_offsets, ang.dtype)
+    ang = ang[None] * offs[:, None, None]
+    screens = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    return screens if dtype is None else screens.astype(dtype)
+
+
 def grid_correct_w_stack(image_size: int, theta: float, w_step: float,
                          shear_u: float, shear_v: float, facet,
                          facet_offset_l: int = 0, facet_offset_m: int = 0,
@@ -88,14 +117,10 @@ def grid_correct_w_stack(image_size: int, theta: float, w_step: float,
         return jnp.asarray(facet)
     facet = jnp.asarray(facet)
     num_l, num_m = facet.shape
-    pl = jnp.arange(num_l) - num_l // 2 + facet_offset_l
-    pm = jnp.arange(num_m) - num_m // 2 + facet_offset_m
-    l = pl * (theta / image_size)
-    m = pm * (theta / image_size)
-    ll, mm = jnp.meshgrid(l, m, indexing="ij")
-    n = lm_to_n(ll, mm, shear_u, shear_v)
-    phase = (2.0 * jnp.pi * w_step * w_offset) * n
-    screen = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    screen = w_screen_stack(image_size, theta, w_step, shear_u, shear_v,
+                            jnp.asarray([w_offset]), facet_offset_l,
+                            facet_offset_m, num_l, num_m,
+                            dtype=facet.dtype)[0]
     if not inverse:
-        return facet / screen.astype(facet.dtype)
-    return facet * screen.astype(facet.dtype)
+        return facet / screen
+    return facet * screen

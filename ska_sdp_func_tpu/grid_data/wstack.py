@@ -69,10 +69,10 @@ def _resolve_engine(engine: str, template, subgrid_size: int,
     """Pick the driver engine (see wstack_wtower_degrid_all docstring)."""
     if engine == "reference":
         return "reference"
-    frac = subgrid_frac or (2.0 / 3.0)
-    eff = int(math.floor(subgrid_size * frac))
-    compatible = (subgrid_size % 128 == 0 and support <= 8
-                  and w_support <= 4 and eff + support <= subgrid_size)
+    from ..parallel.packed import packed_geometry_ok
+
+    compatible = packed_geometry_ok(subgrid_size, support, w_support,
+                                    subgrid_frac)
     if engine == "packed":
         if not compatible:
             raise SdpInvalidArgumentError(
@@ -81,8 +81,11 @@ def _resolve_engine(engine: str, template, subgrid_size: int,
                 "eff_sg_size + support <= subgrid_size")
         return "packed"
     if engine == "auto":
-        single = template is not None and jnp.asarray(template).dtype \
-            in (jnp.complex64, jnp.float32)
+        # dtype sniffed without materialising/transferring the array
+        # (templates may be large host arrays on tunnelled links).
+        dt = getattr(template, "dtype", None)
+        single = dt is not None and jnp.dtype(dt) in (
+            jnp.dtype(jnp.complex64), jnp.dtype(jnp.float32))
         return "packed" if (compatible and single) else "reference"
     raise SdpInvalidArgumentError(f"unknown engine {engine!r}")
 
@@ -153,9 +156,8 @@ def wstack_wtower_degrid_all(image: Array, freq0_hz: float, dfreq_hz: float,
     """Degrid a whole image into visibilities (forward operator).
 
     Equivalent of `sdp_grid_wstack_wtower_degrid_all`
-    (sdp_grid_wstack_wtower.h:44-76). Returns ``vis`` (created
-    complex-of-uvw-precision if not given; any passed array provides only
-    shape/dtype — the reference zeroes it on entry).
+    (sdp_grid_wstack_wtower.h:44-76). ``vis`` is required and provides
+    only shape/dtype (the reference's output array, zeroed on entry).
 
     ``engine``: "reference" (default) runs the reference-faithful
     per-task oracle loop at the template precision; "packed" routes

@@ -33,6 +33,7 @@ sdp_grid_wstack_wtower.cpp:442-448 (raises instead of exit(1)).
 """
 
 import hashlib
+import math
 from dataclasses import dataclass, field
 from typing import Dict, Tuple
 
@@ -43,12 +44,12 @@ import jax.numpy as jnp
 
 from ..fourier_transforms.fft import fft_shifted, ifft_shifted, \
     ifft_shifted_norm
-from ..grid_data.grid_correct import grid_correct_pswf
+from ..grid_data.grid_correct import grid_correct_pswf, \
+    w_screen_stack
 from ..grid_data.gridder_utils import (
     subgrid_add_static,
     subgrid_cut_out_static,
 )
-from ..grid_data.kernels import lm_to_n
 from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
@@ -111,22 +112,18 @@ def _plane_screens(kernel, w_offsets, inverse: bool):
     ``exp(+i 2 pi w_step w_offset n)`` per plane when ``inverse`` (the
     grid correction multiplies by the screen,
     sdp_gridder_grid_correct.cpp:77-115); the degrid correction divides,
-    i.e. multiplies by the conjugate. Batching the screens lets all
-    per-plane corrections ride ONE image-sized elementwise pass and the
-    plane FFTs ONE batched transform instead of a per-plane loop.
+    i.e. multiplies by the conjugate (offset sign flip — unit modulus).
+    Batching the screens lets all per-plane corrections ride ONE
+    image-sized elementwise pass and the plane FFTs ONE batched
+    transform instead of a per-plane loop. Screen construction is
+    shared with :func:`..grid_data.grid_correct.w_screen_stack`.
     """
-    size = kernel.image_size
-    pl = jnp.arange(size) - size // 2
-    l = pl * (kernel.theta / size)
-    ll, mm = jnp.meshgrid(l, l, indexing="ij")
-    n = lm_to_n(ll, mm, kernel.shear_u, kernel.shear_v)
-    ang = (2.0 * jnp.pi * kernel.w_step) * n
-    offs = jnp.asarray(np.asarray(w_offsets, np.float64), ang.dtype)
-    ang = ang[None] * offs[:, None, None]
+    offs = np.asarray(w_offsets, np.float64)
     if not inverse:
-        ang = -ang
-    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(
-        jnp.complex64)
+        offs = -offs
+    return w_screen_stack(kernel.image_size, kernel.theta,
+                          kernel.w_step, kernel.shear_u, kernel.shear_v,
+                          offs, dtype=jnp.complex64)
 
 
 def _planes_to_image(kernel, planes, w_offsets):
@@ -174,6 +171,23 @@ def _auto_block_v(counts: np.ndarray) -> int:
     return best
 
 
+def packed_geometry_ok(subgrid_size: int, support: int, w_support: int,
+                       subgrid_frac: float) -> bool:
+    """True when the packed formulation can express the geometry.
+
+    The single source of the packed-path constraints (used by
+    plan_packed and the reference-driver ``engine="auto"`` routing):
+    octet window (support <= 8), MXU row packing
+    (2*w_support*WIN_ROWS <= 128), lane-aligned subgrids
+    (subgrid_size % 128 == 0), and the in-window tap invariant
+    (eff_sg_size + support <= subgrid_size).
+    """
+    eff = int(math.floor(subgrid_size * (subgrid_frac or 2.0 / 3.0)))
+    return (support <= 8 and 2 * w_support * WIN_ROWS <= 128
+            and subgrid_size % 128 == 0
+            and eff + support <= subgrid_size)
+
+
 def plan_packed(wplan: WStackPlan, uvw, block_v=None,
                 pad_blocks_to: int = 1) -> PackedPlan:
     """Build the packed ingest plan on the host (NumPy, f64).
@@ -189,20 +203,14 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
     """
     support, w_support = wplan.support, wplan.w_support
     sgs = wplan.subgrid_size
-    if support > 8:
+    if not packed_geometry_ok(sgs, support, w_support,
+                              wplan.subgrid_frac):
         raise SdpInvalidArgumentError(
-            "packed path requires support <= 8 (octet window)")
-    if 2 * w_support * WIN_ROWS > 128:
-        raise SdpInvalidArgumentError(
-            "packed path requires w_support <= 4 (MXU row packing)")
-    if sgs % 128 != 0:
-        raise SdpInvalidArgumentError(
-            "packed path requires subgrid_size % 128 == 0")
-    if wplan.eff_sg_size + support > sgs:
-        raise SdpInvalidArgumentError(
-            "packed path requires eff_sg_size + support <= subgrid_size "
-            f"({wplan.eff_sg_size} + {support} > {sgs}); lower "
-            "subgrid_frac")
+            "packed path requires support <= 8 (octet window), "
+            "w_support <= 4 (MXU row packing), subgrid_size % 128 == 0 "
+            "and eff_sg_size + support <= subgrid_size (got "
+            f"support={support}, w_support={w_support}, "
+            f"subgrid_size={sgs}, eff_sg_size={wplan.eff_sg_size})")
 
     from ..utility.device import to_host
 

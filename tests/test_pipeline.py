@@ -313,14 +313,30 @@ def test_station_beam_power_normalised():
     assert p[1] < p[0]
 
 
-def test_solver_verbosity_stage_report(scenario, capsys):
+def test_solver_verbosity_stage_report(scenario):
     """verbosity>0 logs the per-stage Timers report (the reference
-    driver's report_timing, sdp_grid_wstack_wtower.cpp:169-213)."""
+    driver's report_timing, sdp_grid_wstack_wtower.cpp:169-213).
+
+    Captured with an explicit handler: the SKA logger binds its stream
+    handlers to sys.stdout at first use, so capsys-based capture is
+    test-order-dependent."""
+    import io
+    import logging
+
+    from ska_sdp_func_tpu.utility.logging import get_logger
+
     s = scenario
-    major_cycle_imager(
-        s["plan"], jnp.asarray(s["vis"]), jnp.asarray(s["uvw"]),
-        n_major=1, cycle_limit=20, bucketed=True, verbosity=1)
-    out = capsys.readouterr().out
+    buf = io.StringIO()
+    handler = logging.StreamHandler(buf)
+    logger = get_logger()
+    logger.addHandler(handler)
+    try:
+        major_cycle_imager(
+            s["plan"], jnp.asarray(s["vis"]), jnp.asarray(s["uvw"]),
+            n_major=1, cycle_limit=20, bucketed=True, verbosity=1)
+    finally:
+        logger.removeHandler(handler)
+    out = buf.getvalue()
     for stage in ("major_cycle_imager", "planning", "psf grid + sort",
                   "degrid predict", "grid residual", "minor cycle",
                   "restore"):
