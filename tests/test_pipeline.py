@@ -313,6 +313,7 @@ def test_station_beam_power_normalised():
     assert p[1] < p[0]
 
 
+@pytest.mark.slow
 def test_solver_verbosity_stage_report(scenario):
     """verbosity>0 logs the per-stage Timers report (the reference
     driver's report_timing, sdp_grid_wstack_wtower.cpp:169-213).
