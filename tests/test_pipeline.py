@@ -113,6 +113,7 @@ def test_major_cycle_multichip_matches_single(scenario):
                                np.asarray(res1.residual), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(scenario, tmp_path):
     """Solver state persists per major cycle and resumes exactly."""
     s = scenario
