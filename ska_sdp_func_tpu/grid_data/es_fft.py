@@ -325,3 +325,8 @@ class GridderUvwEsFft:
             acc = acc + contrib
         acc = jnp.where((flip < 0)[:, None], jnp.conj(acc), acc)
         return vis + acc
+
+    # Reference Python method name (gridder_uvw_es_fft.py:128) — the C
+    # symbol is sdp_ifft_degrid_uvw_es_fft, the Python wrapper shipped
+    # as ifft_grid_uvw_es; keep both spellings for drop-in use.
+    ifft_grid_uvw_es = ifft_degrid_uvw_es_fft

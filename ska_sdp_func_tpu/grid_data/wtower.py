@@ -185,6 +185,21 @@ class GridderWtowerUVW:
                 f"vis must be complex; got {jnp.asarray(vis).dtype}")
 
     # -- degrid -------------------------------------------------------------
+    def degrid(self, subgrid_image: Array, subgrid_offset_u: int,
+               subgrid_offset_v: int, subgrid_offset_w: int,
+               freq0_hz: float, dfreq_hz: float, uvws: Array,
+               start_chs: Array, end_chs: Array, vis: Array,
+               start_row: int = -1, end_row: int = -1) -> Array:
+        """Deprecated pre-1.2 signature (gridder_wtower_uvw.py:62-79);
+        forwards to :meth:`degrid_subgrid`. Functional semantics:
+        returns the visibilities instead of writing ``vis`` in place
+        (jax arrays are immutable)."""
+        return self.degrid_subgrid(
+            subgrid_image,
+            (subgrid_offset_u, subgrid_offset_v, subgrid_offset_w),
+            jnp.asarray(vis).shape[1], freq0_hz, dfreq_hz, uvws,
+            start_chs, end_chs, vis, start_row, end_row)
+
     def degrid_subgrid(self, subgrid_image: Array,
                        subgrid_offset: Tuple[int, int, int],
                        ch_count: int, freq0_hz: float, dfreq_hz: float,
@@ -239,6 +254,21 @@ class GridderWtowerUVW:
             self.subgrid_size, int(start_row), int(end_row))
 
     # -- grid ---------------------------------------------------------------
+    def grid(self, vis: Array, uvw: Array, start_chs: Array,
+             end_chs: Array, freq0_hz: float, dfreq_hz: float,
+             subgrid_image: Array, subgrid_offset_u: int,
+             subgrid_offset_v: int, subgrid_offset_w: int,
+             start_row: int = -1, end_row: int = -1) -> Array:
+        """Deprecated pre-1.2 signature (gridder_wtower_uvw.py:212-229);
+        forwards to :meth:`grid_subgrid`. Functional semantics: returns
+        ``subgrid_image + contribution`` instead of accumulating in
+        place."""
+        return self.grid_subgrid(
+            vis, uvw, start_chs, end_chs, jnp.asarray(vis).shape[1],
+            freq0_hz, dfreq_hz, subgrid_image,
+            (subgrid_offset_u, subgrid_offset_v, subgrid_offset_w),
+            start_row, end_row)
+
     def grid_subgrid(self, vis: Array, uvws: Array, start_chs: Array,
                      end_chs: Array, ch_count: int, freq0_hz: float,
                      dfreq_hz: float, subgrid_image: Array,

@@ -166,3 +166,38 @@ def test_determine_max_w_tower_height_runs():
         w_oversampling=16 * 1024, fov=0.001)
     assert height >= 2
     assert height % 2 == 0
+
+
+def test_deprecated_grid_degrid_signatures_match_subgrid_forms():
+    """The reference's pre-1.2 grid/degrid signatures
+    (gridder_wtower_uvw.py:62-79, 212-229) forward to the *_subgrid
+    forms (functional: results returned, not written in place)."""
+    rng = np.random.default_rng(4)
+    size, theta, w_step = 64, 0.002, 100.0
+    num_rows, num_chan = 50, 2
+    uvw = rng.uniform(-1, 1, (num_rows, 3)) * np.array([6000.0, 6000.0,
+                                                        120.0])
+    start = jnp.zeros(num_rows, jnp.int32)
+    end = jnp.full(num_rows, num_chan, jnp.int32)
+    freq0, dfreq = C_0, C_0 / 100
+    kern = GridderWtowerUVW(size, size, theta, w_step, 0.0, 0.0, 8,
+                            16 * 1024, 4, 16 * 1024)
+    img = np.zeros((size, size))
+    img[20, 24] = 1.0
+    facet = kern.degrid_correct(jnp.asarray(img, complex))
+    from ska_sdp_func_tpu.fourier_transforms.fft import fft_shifted, \
+        ifft_shifted_norm
+    sub = ifft_shifted_norm(fft_shifted(facet))
+    vis_t = jnp.zeros((num_rows, num_chan), jnp.complex128)
+    old = kern.degrid(sub, 0, 0, 0, freq0, dfreq, jnp.asarray(uvw),
+                      start, end, vis_t)
+    new = kern.degrid_subgrid(sub, (0, 0, 0), num_chan, freq0, dfreq,
+                              jnp.asarray(uvw), start, end, vis_t)
+    np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+    sg0 = jnp.zeros((size, size), jnp.complex128)
+    g_old = kern.grid(old, jnp.asarray(uvw), start, end, freq0, dfreq,
+                      sg0, 0, 0, 0)
+    g_new = kern.grid_subgrid(old, jnp.asarray(uvw), start, end,
+                              num_chan, freq0, dfreq, sg0, (0, 0, 0))
+    np.testing.assert_array_equal(np.asarray(g_old), np.asarray(g_new))
