@@ -689,15 +689,18 @@ class PackedGridder:
 
     # -- degrid ---------------------------------------------------------
 
-    def _degrid_impl(self, image, wk_t, ubase, vband_t, block_bucket,
-                     ladder, pref):
+    # Degrid pipeline stages (composable so report_timing_degrid can
+    # measure marginal device time per stage).
+
+    def _dstage_planes(self, image):
+        return _image_to_plane_stack(self._kernel, image,
+                                     self._plane_offsets())
+
+    def _dstage_layers(self, plane_stack, ladder, pref):
         pplan = self.pplan
         plan = pplan.wplan
         sgs = plan.subgrid_size
         num_tasks = len(pplan.tasks)
-
-        plane_stack = _image_to_plane_stack(self._kernel, image,
-                                            self._plane_offsets())
         plane_pos = {iw: i for i, iw in enumerate(pplan.w_plane_ids)}
         subgrids = jnp.stack([
             subgrid_cut_out_static(
@@ -708,20 +711,30 @@ class PackedGridder:
         subgrids = ifft_shifted_norm(subgrids)
         layers = fft_shifted(
             (subgrids * pref)[:, None, :, :] * ladder[None])
+        st = jnp.stack([layers.real.astype(jnp.float32),
+                        layers.imag.astype(jnp.float32)])
+        st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
+        return st.reshape(2, num_tasks * pplan.num_layers, sgs + 8, sgs)
+
+    def _dstage_kernel(self, st, wk_t, ubase, vband_t, block_bucket):
         # Window tiles stream straight out of the padded layer stack
         # via the fused kernel's index maps (no dense window array, no
         # unfold pass; measured 154.7 vs 149.7 Mvis/s for the windowed
         # kernel on the 512^2/1M-vis bench, and no O(T*S*G) window
         # intermediate).
+        plan = self.pplan.wplan
         p_idx, g_idx, hv_idx = block_bucket
-        st = jnp.stack([layers.real.astype(jnp.float32),
-                        layers.imag.astype(jnp.float32)])
-        st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
-        st = st.reshape(2, num_tasks * pplan.num_layers, sgs + 8, sgs)
         return degrid_fused_pallas(
             st, p_idx, g_idx, hv_idx, ubase, vband_t, wk_t,
-            plan.w_support, block_v=pplan.block_v, fast=self.fast,
+            plan.w_support, block_v=self.pplan.block_v, fast=self.fast,
             interpret=self.interpret)
+
+    def _degrid_impl(self, image, wk_t, ubase, vband_t, block_bucket,
+                     ladder, pref):
+        plane_stack = self._dstage_planes(image)
+        st = self._dstage_layers(plane_stack, ladder, pref)
+        return self._dstage_kernel(st, wk_t, ubase, vband_t,
+                                   block_bucket)
 
     def _degrid_indices(self):
         return (self.p_idx, self.g_idx, self.hv_idx)
@@ -808,6 +821,61 @@ class PackedGridder:
                 f"{self.pplan.total} stream slots "
                 f"({self.pplan.num_blocks} blocks), w_step "
                 f"{plan.w_step}, tower height {plan.w_tower_height}")
+        timers._root.timer.pause()
+        timers._root.timer._elapsed = prefix_t[-1]
+        timers.report(print_fn)
+        return dict(zip(names, [max(b - a, 0.0) for a, b in
+                                zip([0.0] + prefix_t[:-1], prefix_t)]))
+
+    def report_timing_degrid(self, image: Array, iters: int = 10,
+                             print_fn=print):
+        """Per-stage device-time report for one degrid pass (the mirror
+        of :meth:`report_timing`; same chained + readback methodology).
+        """
+        import time as _time
+
+        from ..utility.timers import TimerType, Timers
+
+        args = (self.wk_t, self.ubase, self.vband_t,
+                self._degrid_indices(), self.ladder_degrid,
+                self.pref_degrid)
+
+        def upto(n):
+            def f(img, wkt, ubase, vbt, bb, ladder, pref):
+                planes = self._dstage_planes(img)
+                if n == 0:
+                    return planes
+                st = self._dstage_layers(planes, ladder, pref)
+                if n == 1:
+                    return st
+                return self._dstage_kernel(st, wkt, ubase, vbt, bb)
+            return jax.jit(f)
+
+        red = jax.jit(lambda x: jnp.sum(jnp.abs(x.real))
+                      if jnp.iscomplexobj(x) else jnp.sum(jnp.abs(x)))
+        fbi = jax.jit(lambda m, s: m + jnp.float32(1e-6) * jnp.tanh(s))
+        names = ("plane FFTs + screens", "cut-outs + ladder + layer fft",
+                 "fused degrid kernel")
+        prefix_t = []
+        image = jnp.asarray(image, jnp.float32)
+        for n in range(3):
+            f = upto(n)
+            out = f(image, *args)
+            _ = float(red(out))
+            img = image
+            t0 = _time.perf_counter()
+            for _i in range(iters):
+                out = f(img, *args)
+                img = fbi(img, red(out))
+            _ = float(red(out))
+            prefix_t.append((_time.perf_counter() - t0) / iters)
+
+        timers = Timers("degrid_all (packed) device time / call",
+                        TimerType.DEVICE)
+        prev = 0.0
+        for name, t in zip(names, prefix_t):
+            timers.record(name, max(t - prev, 0.0))
+            prev = t
         timers._root.timer.pause()
         timers._root.timer._elapsed = prefix_t[-1]
         timers.report(print_fn)

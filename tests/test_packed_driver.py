@@ -196,6 +196,16 @@ def test_report_timing_stages(scenario):
     assert len(stages) == 4
     assert all(t >= 0.0 for t in stages.values())
     assert any("packed kernel" in ln for ln in lines)
+    # Degrid mirror.
+    size = s["plan"].image_size
+    model = jnp.zeros((size, size), jnp.float32) \
+        .at[size // 2 + 5, size // 2 - 3].set(1.0)
+    dlines = []
+    dstages = g.report_timing_degrid(model, iters=2,
+                                     print_fn=dlines.append)
+    assert len(dstages) == 3
+    assert all(t >= 0.0 for t in dstages.values())
+    assert any("fused degrid kernel" in ln for ln in dlines)
 
 
 def test_native_planner_matches_numpy(scenario, monkeypatch):
