@@ -190,11 +190,11 @@ def main():
         _ = float(red(model))
         mc_dt = (time.perf_counter() - t0) / iters_mc
 
-    import os
     if os.environ.get("SKA_SDP_FUNC_TPU_BENCH_REPORT"):
-        import sys
         g.report_timing(vre0, vim0,
                         print_fn=lambda s: print(s, file=sys.stderr))
+        g.report_timing_degrid(
+            model, print_fn=lambda s: print(s, file=sys.stderr))
 
     # ---- dense-stream scenario (SKA-density, 4.2M vis) -------------
     chans_d = 256
