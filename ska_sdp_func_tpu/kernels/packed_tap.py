@@ -233,7 +233,9 @@ def fold_groups_pallas(wins: Array, visited, num_groups: int,
                        num_octets: int,
                        interpret: bool = False) -> Array:
     """Sum each (task, slab) group's octet windows at their 8-row
-    offsets: [num_p, groups*G, 16, L] -> [num_p, groups, 8G+16, L].
+    offsets: [num_p, groups*G, 16, L] -> [num_p, groups, 8G, L]
+    (the last octet's straddle half is provably zero and clipped,
+    so the output rows are exactly the subgrid rows).
 
     One DMA pass over the window stack; the XLA formulation of this
     fold materialises several GB-scale intermediates (~17 ms at 1024^2

@@ -226,6 +226,10 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
     height = wplan.w_tower_height
 
     num_vis = num_rows * num_chan
+    if num_vis == 0:
+        raise SdpInvalidArgumentError(
+            "packed plan needs at least one (row, channel) visibility "
+            f"(got {num_rows} rows x {num_chan} channels)")
 
     # Task enumeration + per-task w bounds: native one-pass scan when
     # available (host_runtime.cpp sdp_tpu_packed_tasks), else NumPy on
@@ -376,7 +380,6 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
         uk_s = scatter(uk)
         vk_s = scatter(vk)
         wk_s = scatter(wk)
-        wk_s[~valid] = 0.0
         u_frac_s = scatter(u_frac.astype(np.int32))
         v_frac_s = scatter(v_frac.astype(np.int32))
         w_row_s = scatter(w_row.astype(np.int32))
@@ -418,7 +421,11 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
                   iv0=iv0_s, uk=uk_s, vk=vk_s, wk=wk_s,
                   u_frac=u_frac_s, v_frac=v_frac_s, w_row=w_row_s,
                   block_bucket=block_bucket, visited=visited)
-    digest_names = ("sort_index", "valid", "u_off", "iv0", "wk",
+    # Every array the gridder consumes must be covered: u_frac/v_frac/
+    # w_row feed the device tap evaluation — two plans differing only
+    # in sub-cell fractions must NOT alias in the gridder cache.
+    digest_names = ("sort_index", "valid", "u_off", "iv0",
+                    "u_frac", "v_frac", "w_row",
                     "block_bucket", "visited")
     task_bytes = "".join(repr(t) for t in tasks).encode()
     digest = native_runtime.hash_arrays(
@@ -445,7 +452,7 @@ def plan_packed(wplan: WStackPlan, uvw, block_v=None,
 
 
 def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
-                  w_support, num_layers, size, interpret):
+                  w_support, num_layers, interpret):
     """[2*Sw, TB, 16, size] windows -> [T, Kmax, size, size] complex.
 
     The octet-offset summation runs in :func:`fold_groups_pallas` (one
@@ -465,16 +472,23 @@ def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
 # Device driver
 # ---------------------------------------------------------------------------
 
-_GRIDDER_CACHE: dict = {}
+# Bounded LRU: each gridder pins large device arrays (vband alone is
+# total * subgrid_size * 4 B), so an unbounded cache leaks HBM across
+# re-plans (new pointing / time chunk). Solvers hold their own strong
+# reference, so eviction only drops standby compilations.
+_GRIDDER_CACHE: "dict" = {}
+_GRIDDER_CACHE_MAX = 4
 
 
 def packed_gridder(pplan: PackedPlan, fast: bool = False):
-    """Per-plan device driver (cached by the plan's content digest)."""
+    """Per-plan device driver (LRU-cached by the plan's content digest)."""
     key = (pplan, fast)
-    g = _GRIDDER_CACHE.get(key)
+    g = _GRIDDER_CACHE.pop(key, None)
     if g is None:
         g = PackedGridder(pplan, fast=fast)
-        _GRIDDER_CACHE[key] = g
+    _GRIDDER_CACHE[key] = g          # re-insert: most-recently-used
+    while len(_GRIDDER_CACHE) > _GRIDDER_CACHE_MAX:
+        _GRIDDER_CACHE.pop(next(iter(_GRIDDER_CACHE)))
     return g
 
 
@@ -644,7 +658,7 @@ class PackedGridder:
         return _fold_windows(wins, visited, len(pplan.tasks),
                              pplan.num_slabs, pplan.num_octets,
                              pplan.wplan.w_support, pplan.num_layers,
-                             pplan.wplan.subgrid_size, self.interpret)
+                             self.interpret)
 
     def _stage_drain(self, layers, ladder, pref):
         layers = ifft_shifted(layers)
@@ -1013,7 +1027,7 @@ class PackedGridder:
                     .at[bb_loc_c].set(True)
                 layers = _fold_windows(
                     wins, visited_local, tp, S, G, plan.w_support,
-                    pplan.num_layers, sgs, self.interpret)
+                    pplan.num_layers, self.interpret)
                 z = jnp.zeros((), t0_c.dtype)
                 pref_local = jax.lax.dynamic_slice(
                     pref_pad, (t0_c[0], z, z), (tp, sgs, sgs))

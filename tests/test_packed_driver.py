@@ -360,3 +360,24 @@ def test_major_cycle_packed_fast_converges(scenario):
     got = model[IMAGE_SIZE // 2 + 12, IMAGE_SIZE // 2 - 9]
     assert abs(got - 1.0) < 0.05
     assert res.peak_history[-1] < res.peak_history[0]
+
+
+def test_subcell_shift_changes_digest(scenario):
+    """Two plans differing only in sub-oversample-cell tap fractions
+    must not alias in the gridder cache (digest covers u_frac/v_frac/
+    w_row, the arrays the device tap evaluation consumes)."""
+    s = scenario
+    theta, ov = PARAMS["theta"], PARAMS["oversampling"]
+    uvw2 = np.array(s["uvw"], copy=True)
+    # Shift u by ~0.43 of one oversampled kernel cell (1/(theta*ov)
+    # wavelengths == metres at freq C_0): integer cell geometry stays
+    # identical for almost every visibility, the tap fractions change.
+    uvw2[:, 0] += 0.43 / (theta * ov)
+    plan2 = plan_wstack(uvw2, C_0, C_0 / 100, s["num_chan"],
+                        IMAGE_SIZE, **PARAMS)
+    pplan2 = plan_packed(plan2, uvw2, block_v=128)
+    assert pplan2.digest != s["pplan"].digest
+    assert pplan2 != s["pplan"]
+    g1 = packed_gridder(s["pplan"])
+    g2 = packed_gridder(pplan2)
+    assert g1 is not g2
