@@ -44,6 +44,7 @@ from ..grid_data.wtower import (
     _degrid_all_planes,
     _grid_all_planes,
 )
+from ..utility.caches import lru_insert
 from .mesh import ROW_AXIS, pad_rows_arrays
 
 Array = jax.Array
@@ -357,7 +358,7 @@ def wstack_grid_all_sharded(plan: WStackPlan, vis: Array, uvw: Array,
             in_specs=(P(axis_name), P(axis_name), P(axis_name),
                       P(axis_name)),
             out_specs=P(), check_vma=False))
-        _SHARDED_CACHE[key] = fn
+        lru_insert(_SHARDED_CACHE, key, fn)
     gridded = fn(vis_p, uvw_p, s_p, e_p)
     if not jnp.issubdtype(image_dtype, jnp.complexfloating):
         gridded = gridded.real
@@ -396,6 +397,6 @@ def wstack_degrid_all_sharded(plan: WStackPlan, image: Array, uvw: Array,
             body, mesh=mesh,
             in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
             out_specs=P(axis_name), check_vma=False))
-        _SHARDED_CACHE[key] = fn
+        lru_insert(_SHARDED_CACHE, key, fn)
     vis = fn(image, uvw_p, s_p, e_p)
     return vis[:num_rows]

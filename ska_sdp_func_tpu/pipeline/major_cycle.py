@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..clean.hogbom import _minor_cycle, create_cbeam
+from ..utility.caches import lru_insert
 from ..grid_data.wtower import GridderWtowerUVW
 from ..numeric_functions.fft_convolution import fft_convolution
 from ..parallel.wstack import (
@@ -91,7 +92,7 @@ def _jitted_driver(plan, kernel, which: str, vis_dtype=None):
         else:
             fn = jax.jit(lambda img, u, s, e: degrid_all_tasks(
                 plan, kernel, img, u, s, e, vis_dtype))
-        _JIT_CACHE[key] = fn
+        lru_insert(_JIT_CACHE, key, fn, max_entries=16)
     return fn
 
 
@@ -109,7 +110,7 @@ def _bucketed_grid(bucket, vis, uvw, psf: bool = False):
     if fn is None:
         fn = jax.jit(lambda v, u, s_, m_: grid_all_bucketed(
             bplan, v, u, s_, m_))
-        _JIT_CACHE[key] = fn
+        lru_insert(_JIT_CACHE, key, fn, max_entries=16)
     return fn(vis, uvw, sort, valid)
 
 
@@ -122,7 +123,7 @@ def _bucketed_degrid(bucket, image, uvw):
     if fn is None:
         fn = jax.jit(lambda img, u, s_, m_, i_: degrid_all_bucketed(
             bplan, img, u, s_, m_, i_))
-        _JIT_CACHE[key] = fn
+        lru_insert(_JIT_CACHE, key, fn, max_entries=16)
     return fn(image, uvw, bucket["sort"], bucket["valid"], bucket["inv"])
 
 
