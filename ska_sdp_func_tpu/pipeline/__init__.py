@@ -9,6 +9,7 @@ through jitted grid/CLEAN/degrid graphs, optionally over a device mesh
 
 from .ingest import ingest_flag_and_weight, \
     ingest_flag_and_weight_sharded, ingest_to_solver, station_beam_power
+from .fista import FistaResult, fista_imager
 from .checkpoint import (
     SolverCheckpointer,
     load_result,
@@ -24,7 +25,9 @@ from .major_cycle import (
 )
 
 __all__ = [
+    "FistaResult",
     "ImagingResult",
+    "fista_imager",
     "SolverCheckpointer",
     "dirty_and_psf",
     "ingest_flag_and_weight",
