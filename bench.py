@@ -53,7 +53,7 @@ print("ok", float(jax.jit(lambda a: jnp.sum(a * 2))(x)))
 """
 
 
-def wait_for_chip(max_wait_s: float = 1500.0) -> bool:
+def wait_for_chip(max_wait_s: float | None = None) -> bool:
     """Block until the attached device answers a tiny jitted probe.
 
     The tunnelled TPU attachment wedges for minutes at a time (first
@@ -67,6 +67,9 @@ def wait_for_chip(max_wait_s: float = 1500.0) -> bool:
     """
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return True
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get(
+            "SKA_SDP_FUNC_TPU_BENCH_WAIT_S", "1500"))
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
@@ -81,8 +84,7 @@ def wait_for_chip(max_wait_s: float = 1500.0) -> bool:
             pass
         if time.time() > deadline:
             print(f"# chip probe still failing after {attempt} attempts"
-                  f" ({max_wait_s:.0f}s); proceeding anyway",
-                  file=sys.stderr)
+                  f" ({max_wait_s:.0f}s); giving up", file=sys.stderr)
             return False
         time.sleep(20)
 
@@ -91,9 +93,44 @@ IMAGE, SUBGRID = 512, 128
 THETA, W_STEP, HEIGHT = 0.002, 100.0, 4.0
 ROWS, CHANS = 16384, 64
 
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_last.json")
+
+
+def _emit(result: dict) -> None:
+    """Print the one-line JSON result and persist it as last-known-good
+    (the stale fallback for tunnel-outage runs)."""
+    line = json.dumps(result)
+    print(line)
+    try:
+        with open(_LAST_GOOD, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def _emit_stale(reason: str) -> None:
+    """The attachment is unreachable: touching it would hang or poison
+    this process (PERFORMANCE.md "Timing methodology"). Emit the most
+    recent on-chip measurement, clearly marked stale, instead of
+    producing nothing."""
+    try:
+        with open(_LAST_GOOD) as f:
+            result = json.loads(f.read())
+    except (OSError, ValueError):
+        result = {"metric": "gridding_throughput", "value": 0.0,
+                  "unit": "Mvis/s", "vs_baseline": 0.0}
+    result["stale"] = True
+    result["stale_reason"] = reason
+    print(json.dumps(result))
+
 
 def main():
-    wait_for_chip()
+    if not wait_for_chip():
+        _emit_stale("tpu tunnel unreachable (probe subprocess kept "
+                    "failing); values are the last successful "
+                    "on-chip bench run")
+        return
     from ska_sdp_func_tpu.clean.hogbom import _minor_cycle
     from ska_sdp_func_tpu.parallel import plan_wstack
     from ska_sdp_func_tpu.parallel.packed import (
@@ -232,7 +269,7 @@ def main():
         fast_dt = (time.perf_counter() - t0) / 10
     fast_mvis = nvis_d / fast_dt / 1e6
 
-    print(json.dumps({
+    _emit({
         "metric": "gridding_throughput",
         "value": round(grid_mvis, 3),
         "unit": "Mvis/s",
@@ -246,7 +283,7 @@ def main():
         "dense_fast_grid_mvis_s": round(fast_mvis, 3),
         "dense_scenario": "whole-image 512^2, %.2gM vis, block %d"
                           % (nvis_d / 1e6, pplan_d.block_v),
-    }))
+    })
 
 
 if __name__ == "__main__":
