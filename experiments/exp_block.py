@@ -1,22 +1,37 @@
-"""Block-size experiment on the real chip: dense 4.2M-vis stream,
-grid + degrid at block_v in (256, 512).  Chained timing with readback
-(PERFORMANCE.md methodology)."""
-import sys, time
-sys.path.insert(0, "/root/repo")
+"""Block-size sweep on the real chip: dense 4.2M-vis stream, grid +
+degrid at block_v in (128, 256, 512, 1024). Chained timing with
+readback (PERFORMANCE.md methodology).
+
+Also fits the per-block cost model time = fixed + marginal * block_v
+from the kernel-stage splits (report_timing), to calibrate
+_BLOCK_OVERHEAD_VIS / _BLOCK_CANDIDATES in parallel/packed.py:
+if the dot is latency-bound (fixed >> marginal * 128), larger blocks
+win far more than the padded-total model predicts.
+"""
 import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
-import jax, jax.numpy as jnp
+import jax
+import jax.numpy as jnp
 
 C_0 = 299792458.0
 IMAGE, SUBGRID = 512, 128
 THETA, W_STEP, HEIGHT = 0.002, 100.0, 4.0
 ROWS, CHANS = 16384, 256
 
-from ska_sdp_func_tpu.parallel import plan_wstack
-from ska_sdp_func_tpu.parallel.packed import packed_gridder, plan_packed
-from ska_sdp_func_tpu.utility.device import device_put
+from bench import wait_for_chip          # noqa: E402  (repo root on path)
+from ska_sdp_func_tpu.parallel import plan_wstack  # noqa: E402
+from ska_sdp_func_tpu.parallel.packed import (     # noqa: E402
+    packed_gridder,
+    plan_packed,
+)
+from ska_sdp_func_tpu.utility.device import device_put  # noqa: E402
 
+wait_for_chip()
 rng = np.random.default_rng(1)
 uvw = rng.uniform(-1, 1, (ROWS, 3))
 uvw[:, :2] *= 0.45 * IMAGE / 2 / THETA
@@ -36,9 +51,11 @@ fbi = jax.jit(lambda m, s: m + jnp.float32(1e-6) * jnp.tanh(s))
 
 visd = device_put(vis)
 model0 = jnp.zeros((IMAGE, IMAGE), jnp.float32).at[300, 200].set(1.0)
-for bv in (256, 512):
+rows = []
+FAST = bool(int(os.environ.get("EXP_FAST", "0")))
+for bv in (128, 256, 512, 1024):
     pplan = plan_packed(plan, uvw, block_v=bv)
-    g = packed_gridder(pplan)
+    g = packed_gridder(pplan, fast=FAST)
     vre, vim = g.sort(visd)
     img = g.grid_sorted(vre, vim)
     _ = float(red(img))
@@ -61,7 +78,22 @@ for bv in (256, 512):
         _ = float(redc(vs))
         ddt = (time.perf_counter() - t0) / 10
     dg = nvis / ddt / 1e6
-    print(f"block {bv}: stream {pplan.total} "
-          f"({pplan.total/nvis:.2f}x pad)  grid {gr:.1f} Mvis/s "
-          f"({dt*1e3:.2f} ms)  degrid {dg:.1f} Mvis/s ({ddt*1e3:.2f} ms)",
-          flush=True)
+    nb = pplan.total // bv
+    print(f"{'bf16 ' if FAST else ''}block {bv:4d}: stream {pplan.total} "
+          f"({pplan.total / nvis:.3f}x pad, {nb} blocks)  "
+          f"grid {gr:.1f} Mvis/s ({dt * 1e3:.2f} ms)  "
+          f"degrid {dg:.1f} Mvis/s ({ddt * 1e3:.2f} ms)", flush=True)
+    rows.append((bv, nb, dt, ddt))
+
+# Two-point fixed/marginal fits on whole-call times (coarse — includes
+# folds/FFTs, which are block-independent, so differences isolate the
+# kernel's per-block cost).
+for (b1, n1, t1, d1), (b2, n2, t2, d2) in zip(rows, rows[1:]):
+    if n1 == n2:
+        continue
+    for name, x1, x2 in (("grid", t1, t2), ("degrid", d1, d2)):
+        fixed = (x1 - x2) / (n1 - n2)
+        resid = x1 - fixed * n1
+        print(f"  {name} fit blocks {b1}/{b2}: per-block fixed "
+              f"{fixed * 1e9:.0f} ns, block-independent {resid * 1e3:.2f} ms",
+              flush=True)

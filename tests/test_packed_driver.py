@@ -83,6 +83,7 @@ def test_sort_unsort_roundtrip(scenario):
     np.testing.assert_allclose(np.asarray(back), s["vis"], atol=0)
 
 
+@pytest.mark.slow
 def test_packed_grid_matches_task_driver(scenario):
     s = scenario
     img_p = grid_all_packed(s["pplan"], jnp.asarray(s["vis"]))

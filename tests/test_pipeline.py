@@ -233,6 +233,7 @@ def test_checkpointer_solver_resume(scenario, tmp_path):
     assert res.peak_history == ref.peak_history
 
 
+@pytest.mark.slow
 def test_major_cycle_with_briggs_weights(scenario):
     """Weighted imaging: briggs weights plug into the solver and point
     sources are still recovered (weights reshape the PSF, not the flux)."""

@@ -115,6 +115,7 @@ def test_grid_degrid_operator_consistency(scenario):
     np.testing.assert_allclose(lhs, rhs, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_wstack_engine_packed_matches_reference():
     """engine="packed" routes the reference-API drivers through the
     packed production path; f32 results match the reference loop to
