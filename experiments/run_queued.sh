@@ -25,7 +25,9 @@ run bench 2400 python bench.py
 run exp_block_f32 2400 python experiments/exp_block.py
 # 3. Block-size sweep bf16 fast mode.
 run exp_block_bf16 2400 env EXP_FAST=1 python experiments/exp_block.py
-# 4. Stage splits for PERFORMANCE.md.
+# 4. Parity-split accumulator (add-chain-bound hypothesis).
+run exp_parity 2400 python experiments/exp_parity.py
+# 5. Stage splits for PERFORMANCE.md.
 run bench_report 2400 env SKA_SDP_FUNC_TPU_BENCH_REPORT=1 python bench.py
 
 echo "done: $LOG" | tee -a "$LOG"
