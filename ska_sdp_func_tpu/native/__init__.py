@@ -280,22 +280,25 @@ def packed_plan_arrays(uvw, freq0_hz, dfreq_hz, num_chan, eff_sg_dist,
     np.cumsum(padded, out=pad_off[1:])
     total = int(pad_off[-1])
 
-    sort_index = np.zeros(total, np.int64)
-    valid = np.zeros(total, np.uint8)
-    u_off = np.zeros(total, np.int32)
-    iv0 = np.zeros(total, np.int32)
-    uk = np.zeros((total, support), np.float32)
-    vk = np.zeros((total, support), np.float32)
-    wk = np.zeros((total, w_support), np.float32)
-    u_frac = np.zeros(total, np.int32)
-    v_frac = np.zeros(total, np.int32)
-    w_row = np.zeros(total, np.int32)
+    # np.empty: the native fill writes every valid slot and memsets the
+    # pad tails itself (np.zeros cost ~0.6 s of memset per warm 4M-vis
+    # plan on the single-core host).
+    sort_index = np.empty(total, np.int64)
+    valid = np.empty(total, np.uint8)
+    u_off = np.empty(total, np.int32)
+    iv0 = np.empty(total, np.int32)
+    uk = np.empty((total, support), np.float32)
+    vk = np.empty((total, support), np.float32)
+    wk = np.empty((total, w_support), np.float32)
+    u_frac = np.empty(total, np.int32)
+    v_frac = np.empty(total, np.int32)
+    w_row = np.empty(total, np.int32)
     lib.sdp_tpu_packed_fill(
         uvw, num_rows, freq0_hz, dfreq_hz, num_chan,
         eff_sg_dist, theta, w_step, height,
         ov, w_ov, sgs, support, w_support,
         task_id, first_t, off_w_t,
-        bucket, pad_off[:-1].copy(), num_buckets,
+        bucket, pad_off, num_buckets,
         uv_table, w_table,
         sort_index, valid, u_off, iv0, uk, vk, wk,
         u_frac, v_frac, w_row)

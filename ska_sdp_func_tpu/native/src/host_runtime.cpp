@@ -20,6 +20,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <unordered_map>
 #include <vector>
 
@@ -282,6 +283,34 @@ inline void packed_entry(const PackedGeom& g, const double* uvw,
         g.w_ov);
 }
 
+// Pass-1 subset of packed_entry: only the u-octet (iu0) and the slab
+// index j — the bucket key needs nothing else, and the v/w-row
+// rounding work is ~40% of the full per-entry geometry. MUST stay
+// arithmetic-identical to packed_entry's iu0/j path.
+inline void packed_entry_uj(const PackedGeom& g, const double* uvw,
+                            int64_t row, int64_t ch,
+                            const int64_t* first_t,
+                            const int64_t* off_w_t, int64_t task,
+                            int64_t* iu0, int64_t* j)
+{
+    const double sc = (g.freq0 + g.dfreq * (double)ch) / kC0;
+    const double u = uvw[3 * row + 0] * sc;
+    const double w = uvw[3 * row + 2] * sc;
+    const double d = g.eff_sg_dist;
+    const int64_t biu = (int64_t)std::floor(u / d + 0.5);
+    const int64_t half_ov =
+        (g.sgs / 2 - g.support / 2 + 1) * g.ov;
+    const double u_rel = u - (double)biu * d;
+    const int64_t iu0_ov =
+        (int64_t)round_half_away(u_rel * (g.theta * (double)g.ov))
+        + half_ov;
+    int64_t iu = floor_div(iu0_ov, g.ov);
+    *iu0 = std::min(std::max(iu, (int64_t)0), g.sgs - g.support);
+
+    const double w_rel = w - (double)off_w_t[task] * g.w_step;
+    *j = (int64_t)std::floor(w_rel / g.w_step) + 1 - first_t[task];
+}
+
 }  // namespace
 
 // Pass 1: per-entry bucket ids + per-bucket counts. Returns the number
@@ -323,12 +352,15 @@ int64_t sdp_tpu_packed_buckets(
         {
             const int64_t e = r * num_chan + c;
             const int64_t task = task_id[e];
-            int64_t iu0, iv0, uf, vf, j, wr;
-            packed_entry(g, uvw, r, c, first_t, off_w_t, task,
-                         &iu0, &iv0, &uf, &vf, &j, &wr);
+            int64_t iu0, j;
+            packed_entry_uj(g, uvw, r, c, first_t, off_w_t, task,
+                            &iu0, &j);
             if (j < 0 || j >= num_planes_t[task]) bad += 1;
-            const int64_t b =
+            // Out-of-range j aborts the plan (bad > 0) — clamp so the
+            // count write stays in bounds until the caller raises.
+            int64_t b =
                 (task * num_slabs + j) * num_octets + (iu0 >> 3);
+            b = std::min(std::max(b, (int64_t)0), num_buckets - 1);
             bucket[e] = b;
             t_counts[tid][b] += 1;
         }
@@ -340,9 +372,12 @@ int64_t sdp_tpu_packed_buckets(
 }
 
 // Pass 2: stable placement into the padded stream + tap table lookups.
-// pad_off: [num_buckets] start offsets of each padded bucket;
-// uv_table: [ov+1, support] f64; w_table: [w_ov+1, w_support] f64.
-// Output arrays are caller-zeroed with length `total`.
+// pad_off: [num_buckets + 1] start offsets of each padded bucket (the
+// last entry is the padded total); uv_table: [ov+1, support] f64;
+// w_table: [w_ov+1, w_support] f64. Output arrays may be allocated
+// with np.empty: every pad slot is zeroed here (sequential writes at
+// the tail of each bucket run — the caller-side np.zeros memset of the
+// full 60 B/vis stream cost ~0.6 s per warm 4M-vis plan build).
 void sdp_tpu_packed_fill(
     const double* uvw, int64_t num_rows,
     double freq0_hz, double dfreq_hz, int64_t num_chan,
@@ -371,7 +406,8 @@ void sdp_tpu_packed_fill(
         sort_index[dest] = e;
         valid[dest] = 1;
     }
-    // Parallel geometry + table fill over destinations.
+    // Parallel geometry + table fill over destinations, then zero the
+    // pad tail of each bucket run (outputs may be np.empty).
 #pragma omp parallel for schedule(static)
     for (int64_t b = 0; b < num_buckets; ++b)
     {
@@ -399,6 +435,22 @@ void sdp_tpu_packed_fill(
                 wk[dest * w_support + s] =
                     (float)w_table[wr * w_support + s];
         }
+        const int64_t pad_lo = cursor[b], pad_hi = pad_off[b + 1];
+        const int64_t npad = pad_hi - pad_lo;
+        if (npad <= 0) continue;
+        std::memset(sort_index + pad_lo, 0, npad * sizeof(int64_t));
+        std::memset(valid + pad_lo, 0, npad);
+        std::memset(u_off + pad_lo, 0, npad * sizeof(int32_t));
+        std::memset(iv0_out + pad_lo, 0, npad * sizeof(int32_t));
+        std::memset(u_frac + pad_lo, 0, npad * sizeof(int32_t));
+        std::memset(v_frac + pad_lo, 0, npad * sizeof(int32_t));
+        std::memset(w_row_out + pad_lo, 0, npad * sizeof(int32_t));
+        std::memset(uk + pad_lo * support, 0,
+                    npad * support * sizeof(float));
+        std::memset(vk + pad_lo * support, 0,
+                    npad * support * sizeof(float));
+        std::memset(wk + pad_lo * w_support, 0,
+                    npad * w_support * sizeof(float));
     }
 }
 
@@ -498,9 +550,12 @@ int64_t sdp_tpu_packed_tasks(
     return num_tasks;
 }
 
-// Chunked FNV-1a content digest (plan cache identity, not crypto):
-// each 1 MiB chunk hashes independently (OpenMP) and the chunk hashes
+// Chunked content digest (plan cache identity, not crypto): each
+// 1 MiB chunk hashes independently (OpenMP) and the chunk hashes
 // combine sequentially, so the result is thread-count invariant.
+// Within a chunk the FNV-1a round eats 8 bytes per multiply with an
+// xorshift mix (byte-at-a-time measured 390 MB/s on the single-core
+// build host — the digest was ~15% of a warm 4M-vis plan build).
 uint64_t sdp_tpu_hash64(const uint8_t* data, int64_t n, uint64_t seed)
 {
     constexpr int64_t kChunk = (int64_t)1 << 20;
@@ -512,7 +567,16 @@ uint64_t sdp_tpu_hash64(const uint8_t* data, int64_t n, uint64_t seed)
         uint64_t acc = 1469598103934665603ULL;
         const int64_t lo = cidx * kChunk;
         const int64_t hi = std::min(n, lo + kChunk);
-        for (int64_t i = lo; i < hi; ++i)
+        int64_t i = lo;
+        for (; i + 8 <= hi; i += 8)
+        {
+            uint64_t v;
+            std::memcpy(&v, data + i, 8);
+            acc ^= v;
+            acc *= 1099511628211ULL;
+            acc ^= acc >> 29;
+        }
+        for (; i < hi; ++i)
         {
             acc ^= (uint64_t)data[i];
             acc *= 1099511628211ULL;
