@@ -36,6 +36,13 @@ from .packed import (
     packed_gridder,
     plan_packed,
 )
+from .streaming import (
+    StreamingDegridder,
+    StreamingGridder,
+    StreamPlan,
+    plan_stream,
+    stream_tasks,
+)
 from .swiftly_dist import SwiftlyDistributed
 from .wstack import (
     WStackPlan,
@@ -49,6 +56,9 @@ __all__ = [
     "BucketedPlan",
     "PackedGridder",
     "PackedPlan",
+    "StreamPlan",
+    "StreamingDegridder",
+    "StreamingGridder",
     "SwiftlyDistributed",
     "WStackPlan",
     "WStackTask",
@@ -65,7 +75,9 @@ __all__ = [
     "pad_rows",
     "plan_bucketed",
     "plan_packed",
+    "plan_stream",
     "plan_wstack",
+    "stream_tasks",
     "row_sharding",
     "wstack_degrid_all_sharded",
     "wstack_grid_all_sharded",

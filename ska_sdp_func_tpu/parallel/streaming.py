@@ -1,0 +1,736 @@
+"""Chunked whole-survey gridding with ON-DEVICE planning.
+
+The packed driver (:mod:`.packed`) plans on the host: ~170 ns/vis
+single-core for bucket sort + tap addressing. That is the right trade
+for solvers (plan once, iterate many times), but an *ingest* pass —
+grid an entire observation once — is then host-bound: the device grids
+a million visibilities in ~7 ms while the host spends ~170 ms planning
+them. At SKA scale (1e9+ visibilities, too large for HBM-resident
+plans anyway) the planner, not the TPU, would set the throughput.
+
+This module moves the per-visibility planning INTO the jitted graph so
+a visibility chunk goes host->device once and everything else —
+geometry quantisation, bucket assignment, stable sort, padding, tap
+evaluation, gridding, accumulation — runs on the TPU:
+
+1. **Static stream geometry** (host, once per observation): the task
+   boxes are fixed up front (:func:`stream_tasks` pre-scans uvw
+   metadata with the native planner; or pass the boxes you expect to
+   cover). Per-task w-tower ranges derive from the *box* w-interval —
+   every w that maps to the box fits its tower — so layer counts,
+   bucket counts and the block layout are compile-time constants.
+2. **Device planning** (per chunk, inside one jit): the same quantised
+   geometry arithmetic as ``plan_packed`` (cited there from
+   sdp_gridder_wtower_uvw.cpp:126-142) in f32, a stable
+   ``jnp.argsort`` bucket sort, destination scatter into a
+   fixed-capacity padded stream, and Chebyshev tap evaluation — then
+   straight into the packed Pallas kernel and the shared fold/FFT/
+   ladder/correction stages.
+3. **Accumulation**: the dirty-image accumulator is donated through
+   the jitted step, and processed/dropped/overflow counters live on
+   device, so a chunk costs exactly one H2D transfer (uvw + vis) and
+   zero readbacks; :meth:`StreamingGridder.finalize` reads the
+   counters once and enforces the processed-visibility invariant
+   (reference: sdp_grid_wstack_wtower.cpp:442-448).
+
+Precision note: the host planner quantises in f64 and is the oracle;
+the device planner quantises in f32. Absolute u error is ~6e-8
+relative (|u| up to ~1e4 wavelengths -> ~6e-4 wavelengths), i.e.
+~0.02 oversample bins at theta*ov ~ 33 bins/wavelength — two orders
+below the tap quantisation itself. A visibility landing within that
+slack of a pixel/box boundary may round to the neighbouring
+subgrid/oversample bin: a *valid alternative placement* whose image
+effect is bounded by the oversampling step, well inside the f32
+path's measured 2.5e-4 accuracy envelope. The device path is
+self-consistent (the same f32 geometry picks the bucket AND the
+taps), so no visibility is ever half-assigned.
+
+Capacity: the padded stream length is fixed at
+``ceil(chunk_vis * cap_factor)`` slots. A chunk whose bucket padding
+exceeds it contributes NOTHING (the whole chunk is voided and
+counted — never a silently truncated image) and finalize raises;
+raise ``cap_factor`` or shrink chunks. Dense production streams
+measure ~1.03-1.3x padding (PERFORMANCE.md).
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fourier_transforms.fft import fft_shifted, ifft_shifted
+from ..grid_data.gridder_utils import subgrid_add_static
+from ..grid_data.kernels import eval_kernel_taps
+from ..kernels.packed_tap import build_bands, grid_packed_pallas
+from ..utility.caches import lru_insert
+from ..utility.constants import C_0
+from ..utility.errors import SdpInvalidArgumentError, SdpRuntimeError
+from .packed import (
+    PackedTask,
+    _fold_windows,
+    _planes_to_image,
+    packed_geometry_ok,
+)
+from .wstack import WStackPlan
+
+Array = jax.Array
+
+_ETA = 1e-5   # tower-range guard, mirrors plan_packed / plan_wstack
+
+
+def stream_tasks(wplan: WStackPlan, uvw) -> np.ndarray:
+    """Pre-scan uvw metadata for the occupied task boxes (host).
+
+    Returns ``[T, 3]`` int64 ``(biw, biu, biv)`` boxes. One native/
+    NumPy pass over (row, channel) keys — cheap relative to planning
+    (~40 ns/vis) and only needed once per observation; for a streaming
+    setting where even that is too much, pass the full box lattice the
+    image/w-range can host.
+    """
+    from .. import native as native_runtime
+    from ..utility.device import to_host
+
+    uvw = to_host(uvw, np.float64)
+    d = wplan.eff_sg_dist
+    wd = wplan.w_stack_dist
+    nat = native_runtime.packed_tasks(
+        uvw, wplan.freq0_hz, wplan.dfreq_hz or 10.0, wplan.num_chan,
+        d, wd)
+    if nat is not None:
+        _, boxes, _, _ = nat
+        return boxes
+    scale = (wplan.freq0_hz
+             + (wplan.dfreq_hz or 10.0) * np.arange(wplan.num_chan)) / C_0
+    u = (uvw[:, 0:1] * scale[None, :]).ravel()
+    v = (uvw[:, 1:2] * scale[None, :]).ravel()
+    w = (uvw[:, 2:3] * scale[None, :]).ravel()
+    biu = np.floor(u / d + 0.5).astype(np.int64)
+    biv = np.floor(v / d + 0.5).astype(np.int64)
+    biw = np.floor(w / wd + 0.5).astype(np.int64)
+    span = 1 << 20
+    key = ((biw + span // 2) * span + (biu + span // 2)) * span \
+        + (biv + span // 2)
+    keys = np.unique(key)
+    return np.stack([keys // (span * span) - span // 2,
+                     (keys // span) % span - span // 2,
+                     keys % span - span // 2], axis=1)
+
+
+@dataclass(frozen=True)
+class StreamPlan:
+    """Static geometry of a visibility stream (fixed task set).
+
+    Unlike :class:`.packed.PackedPlan` there are no per-visibility
+    host arrays — the per-chunk plan is computed on device — so two
+    StreamPlans are equal iff their geometry is.
+    """
+
+    wplan: WStackPlan
+    tasks: Tuple[PackedTask, ...]
+    chunk_rows: int
+    block_v: int
+    cap: int                 # padded stream capacity (slots)
+    num_layers: int          # Kmax: uniform padded tower depth
+    num_slabs: int
+    num_octets: int
+    num_buckets: int
+    # Device-plan lookup tables (derived from `tasks`; excluded from
+    # eq/hash like PackedPlan.arrays).
+    consts: Dict[str, np.ndarray] = field(compare=False, hash=False,
+                                          repr=False, default=None)
+
+    @property
+    def w_plane_ids(self):
+        return tuple(sorted({t.iw for t in self.tasks}))
+
+    @property
+    def num_blocks(self):
+        return self.cap // self.block_v
+
+
+def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
+                block_v: int = 256, cap_factor: float = 1.5,
+                cap_slots: Optional[int] = None) -> StreamPlan:
+    """Fix the stream geometry for a task-box set (host, once).
+
+    ``boxes``: ``[T, 3]`` int ``(biw, biu, biv)`` task boxes (from
+    :func:`stream_tasks` or chosen a priori). Each task's w-tower
+    covers its box's full w-interval ``[biw*wd - wd/2, biw*wd + wd/2]``
+    so any visibility mapping to the box fits the tower — towers are
+    a little deeper than the data-derived ones of ``plan_packed``, in
+    exchange for compile-time-constant layer geometry.
+    """
+    if not packed_geometry_ok(wplan.subgrid_size, wplan.support,
+                              wplan.w_support, wplan.subgrid_frac):
+        raise SdpInvalidArgumentError(
+            "streaming uses the packed formulation: support <= 8, "
+            "2*w_support*16 <= 128, subgrid_size % 128 == 0 and "
+            "eff_sg_size + support <= subgrid_size required")
+    boxes = np.asarray(boxes, np.int64)
+    if boxes.ndim != 2 or boxes.shape[1] != 3 or boxes.shape[0] == 0:
+        raise SdpInvalidArgumentError(
+            f"boxes must be [T, 3] (biw, biu, biv), got {boxes.shape}")
+    if chunk_rows <= 0:
+        raise SdpInvalidArgumentError("chunk_rows must be positive")
+    w_step, height = wplan.w_step, wplan.w_tower_height
+    wd = wplan.w_stack_dist
+
+    # Static per-task tower range from the box w-interval (same
+    # formulas as plan_packed, with the box bounds as wmin/wmax).
+    biw = boxes[:, 0]
+    off_w_t = np.trunc(biw * height).astype(np.int64)
+    wmin_box = biw * wd - wd / 2
+    wmax_box = biw * wd + wd / 2
+    first_t = (np.floor(wmin_box / w_step - _ETA).astype(np.int64)
+               - off_w_t)
+    last_t = (np.ceil(wmax_box / w_step + _ETA).astype(np.int64)
+              - off_w_t + 1)
+    num_planes_t = 1 + last_t - first_t
+    num_layers = int((num_planes_t + wplan.w_support - 1).max())
+    num_slabs = num_layers - wplan.w_support + 1
+    num_octets = wplan.subgrid_size // 8
+    num_tasks = boxes.shape[0]
+    num_buckets = num_tasks * num_slabs * num_octets
+
+    # Compact box -> task lookup (dense LUT over the box bounding
+    # lattice; -1 = no task there -> visibility counted as dropped).
+    b0 = boxes.min(axis=0)
+    nb3 = boxes.max(axis=0) - b0 + 1
+    lut = np.full(int(np.prod(nb3)), -1, np.int32)
+    flat = ((boxes[:, 0] - b0[0]) * nb3[1]
+            + (boxes[:, 1] - b0[1])) * nb3[2] + (boxes[:, 2] - b0[2])
+    lut[flat] = np.arange(num_tasks, dtype=np.int32)
+
+    num_vis = chunk_rows * wplan.num_chan
+    # Bucket padding costs up to block_v-1 slots per OCCUPIED bucket:
+    # cap_factor ~1.5 suits dense production chunks (measured padding
+    # 1.03-1.3x); sparse/small chunks need cap_slots explicitly.
+    cap = cap_slots if cap_slots is not None else \
+        int(math.ceil(num_vis * cap_factor / block_v)) * block_v
+    cap = -(-int(cap) // block_v) * block_v
+    if cap >= 2 ** 31:
+        raise SdpInvalidArgumentError(
+            "stream capacity too large for int32 indexing")
+
+    tasks = tuple(
+        PackedTask(int(boxes[t, 1]), int(boxes[t, 2]),
+                   int(boxes[t, 0]), int(first_t[t]))
+        for t in range(num_tasks))
+    consts = dict(
+        lut=lut, b0=b0.astype(np.int32), nb3=nb3.astype(np.int32),
+        first_t=first_t.astype(np.int32),
+        off_w=off_w_t.astype(np.float32),
+        num_planes_t=num_planes_t.astype(np.int32))
+    return StreamPlan(
+        wplan=wplan, tasks=tasks, chunk_rows=int(chunk_rows),
+        block_v=int(block_v), cap=cap, num_layers=num_layers,
+        num_slabs=num_slabs, num_octets=num_octets,
+        num_buckets=num_buckets, consts=consts)
+
+
+# Compiled chunk-step engines, shared across StreamingGridder
+# instances of the same (StreamPlan, fast) — a stream's engine compiles
+# once; gridders are thin mutable accumulators. Value-keyed (StreamPlan
+# equality is pure geometry), bounded like the other driver caches.
+_ENGINE_CACHE: dict = {}
+
+
+def _stream_engine(splan: StreamPlan, fast: bool) -> "_StreamEngine":
+    key = (splan, bool(fast))
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = lru_insert(_ENGINE_CACHE, key, _StreamEngine(splan, fast),
+                         max_entries=4)
+    return eng
+
+
+class _StreamEngine:
+    """Immutable per-(plan, fast) compiled state: device constants and
+    the jitted chunk step."""
+
+    def __init__(self, splan: StreamPlan, fast: bool = False):
+        from ..grid_data.wtower import _tap_coeffs_cached
+        from ..utility.device import device_put
+
+        self.splan = splan
+        self.fast = bool(fast)
+        self.interpret = jax.default_backend() != "tpu"
+        plan = splan.wplan
+        kernel = plan.kernel()
+        self._kernel = kernel
+        self._uv_c = _tap_coeffs_cached(plan.support, plan.oversampling)
+        self._w_c = _tap_coeffs_cached(plan.w_support,
+                                       plan.w_oversampling)
+
+        # Shared ladders + per-task prefactors (static task set; same
+        # construction as PackedGridder, grid AND degrid directions).
+        w_pattern = kernel.w_pattern
+        sw = plan.w_support
+        karange = np.arange(splan.num_layers)
+        ladder = w_pattern[None] ** karange[:, None, None]
+        e0 = np.asarray([t.first_w_plane + sw // 2 - sw
+                         for t in splan.tasks])
+        pref = w_pattern[None] ** e0[:, None, None]
+        self.ladder = device_put(ladder.astype(np.complex64))
+        self.pref = device_put(pref.astype(np.complex64))
+        ladder_d = w_pattern[None] ** (-karange[:, None, None])
+        e0_d = np.asarray([sw // 2 - t.first_w_plane
+                           for t in splan.tasks])
+        pref_d = w_pattern[None] ** e0_d[:, None, None]
+        self.ladder_degrid = device_put(ladder_d.astype(np.complex64))
+        self.pref_degrid = device_put(pref_d.astype(np.complex64))
+
+        c = splan.consts
+        self._lut = jnp.asarray(c["lut"])
+        self._first_t = jnp.asarray(c["first_t"])
+        self._off_w = jnp.asarray(c["off_w"])
+        self._num_planes_t = jnp.asarray(c["num_planes_t"])
+        # Host f64 channel scaling, shipped as an f32 constant.
+        scale = (plan.freq0_hz + (plan.dfreq_hz or 10.0)
+                 * np.arange(plan.num_chan)) / C_0
+        self._scale = jnp.asarray(scale.astype(np.float32))
+
+        self.step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3))
+        self.dstep = jax.jit(self._dstep_impl, donate_argnums=(0, 1, 2))
+        self.model_stack = jax.jit(self._model_stack_impl)
+
+    # -- device planning (all jnp, traced) -----------------------------
+
+    def _plan_chunk(self, uvw, row_mask):
+        """Per-chunk device plan: the quantised geometry of
+        plan_packed/packed_entry in f32 (see module precision note)."""
+        splan = self.splan
+        plan = splan.wplan
+        d = np.float32(plan.eff_sg_dist)
+        theta_ov = np.float32(plan.theta * plan.oversampling)
+        ov = plan.oversampling
+        w_step = np.float32(plan.w_step)
+        w_ov_scale = np.float32(plan.w_oversampling / plan.w_step)
+        sgs, support = plan.subgrid_size, plan.support
+        half_ov = (sgs // 2 - support // 2 + 1) * ov
+        nb = splan.num_buckets
+
+        def rha(x):   # round half away from zero
+            return jnp.where(x >= 0, jnp.floor(x + 0.5),
+                             jnp.ceil(x - 0.5)).astype(jnp.int32)
+
+        u = (uvw[:, 0:1] * self._scale[None, :]).ravel()
+        v = (uvw[:, 1:2] * self._scale[None, :]).ravel()
+        w = (uvw[:, 2:3] * self._scale[None, :]).ravel()
+        mask = jnp.repeat(row_mask, plan.num_chan)
+
+        biu = jnp.floor(u / d + 0.5).astype(jnp.int32)
+        biv = jnp.floor(v / d + 0.5).astype(jnp.int32)
+        biw = jnp.floor(w / np.float32(plan.w_stack_dist)
+                        + 0.5).astype(jnp.int32)
+        b0, nb3 = splan.consts["b0"], splan.consts["nb3"]
+        i0, i1, i2 = biw - b0[0], biu - b0[1], biv - b0[2]
+        inb = ((i0 >= 0) & (i0 < nb3[0]) & (i1 >= 0) & (i1 < nb3[1])
+               & (i2 >= 0) & (i2 < nb3[2]))
+        li = (i0 * nb3[1] + i1) * nb3[2] + i2
+        li = jnp.clip(li, 0, self._lut.shape[0] - 1)
+        task = jnp.where(inb, self._lut[li], -1)
+        tsafe = jnp.maximum(task, 0)
+
+        u_rel = u - biu.astype(jnp.float32) * d
+        v_rel = v - biv.astype(jnp.float32) * d
+        iu0_ov = rha(u_rel * theta_ov) + half_ov
+        iv0_ov = rha(v_rel * theta_ov) + half_ov
+        iu0 = jnp.clip(jnp.floor_divide(iu0_ov, ov), 0, sgs - support)
+        iv0 = jnp.clip(jnp.floor_divide(iv0_ov, ov), 0, sgs - support)
+        u_frac = jnp.mod(iu0_ov, ov)
+        v_frac = jnp.mod(iv0_ov, ov)
+
+        w_rel = w - self._off_w[tsafe] * w_step
+        j = (jnp.floor(w_rel / w_step).astype(jnp.int32) + 1
+             - self._first_t[tsafe])
+        w_rel2 = w_rel - (self._first_t[tsafe] + j - 1).astype(
+            jnp.float32) * w_step
+        w_row = jnp.mod(rha(w_rel2 * w_ov_scale),
+                        plan.w_oversampling)
+
+        ok = (mask & (task >= 0) & (j >= 0)
+              & (j < self._num_planes_t[tsafe]))
+        bucket = jnp.where(
+            ok, (tsafe * splan.num_slabs + j) * splan.num_octets
+            + (iu0 >> 3), nb)
+
+        counts = jnp.bincount(bucket, length=nb + 1)[:nb]
+        padded = -(-counts // splan.block_v) * splan.block_v
+        pad_off = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(padded).astype(jnp.int32)])
+        total = pad_off[-1]
+        overflow = total > splan.cap
+
+        order = jnp.argsort(bucket, stable=True)
+        b_s = bucket[order]
+        sstart = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts).astype(jnp.int32)])
+        rank = jnp.arange(b_s.shape[0], dtype=jnp.int32) - sstart[b_s]
+        dest = jnp.where(
+            b_s < nb,
+            pad_off[jnp.minimum(b_s, nb - 1)] + rank,
+            splan.cap)                      # sentinel -> dropped
+        dest = jnp.where(overflow, splan.cap, dest)
+
+        def scatter(x, dtype=None):
+            out = jnp.zeros((splan.cap,), dtype or x.dtype)
+            return out.at[dest].set(x[order], mode="drop")
+
+        arrays = dict(
+            u_off=scatter(iu0 & 7), iv0=scatter(iv0),
+            u_frac=scatter(u_frac), v_frac=scatter(v_frac),
+            w_row=scatter(w_row),
+            valid=scatter(ok, jnp.bool_))
+        slots = jnp.arange(splan.num_blocks,
+                           dtype=jnp.int32) * splan.block_v
+        block_bucket = jnp.clip(
+            jnp.searchsorted(pad_off[1:], slots, side="right"),
+            0, nb - 1).astype(jnp.int32)
+        # On overflow the kernel's block range cannot cover every
+        # occupied bucket, leaving marked-visited windows unwritten
+        # (garbage/NaN) — void the chunk at the fold already.
+        visited = (counts > 0) & jnp.logical_not(overflow)
+        processed = jnp.sum(ok & jnp.logical_not(overflow)).astype(
+            jnp.int32)
+        dropped = jnp.sum(mask & jnp.logical_not(ok)).astype(jnp.int32)
+        return (arrays, order, dest, block_bucket, visited, processed,
+                dropped, overflow)
+
+    # -- jitted chunk step ---------------------------------------------
+
+    def _step_impl(self, image, processed_acc, dropped_acc, voided_acc,
+                   uvw, row_mask, vre, vim):
+        splan = self.splan
+        plan = splan.wplan
+        (arrays, order, dest, block_bucket, visited, processed,
+         dropped, overflow) = self._plan_chunk(uvw, row_mask)
+
+        uk = eval_kernel_taps(arrays["u_frac"], self._uv_c,
+                              plan.oversampling)
+        vk = eval_kernel_taps(arrays["v_frac"], self._uv_c,
+                              plan.oversampling)
+        wk = jnp.where(arrays["valid"][:, None],
+                       eval_kernel_taps(arrays["w_row"], self._w_c,
+                                        plan.w_oversampling), 0.0)
+        ubase, vband, _ = build_bands(arrays["u_off"], arrays["iv0"],
+                                      uk, vk, plan.subgrid_size)
+        if self.fast:
+            vband = vband.astype(jnp.bfloat16)
+        wk_t = wk.T
+
+        def sort_vis(x):
+            out = jnp.zeros((splan.cap,), jnp.float32)
+            return out.at[dest].set(x.ravel()[order], mode="drop")
+
+        vre_s, vim_s = sort_vis(vre), sort_vis(vim)
+        scales = jnp.concatenate([wk_t * vre_s[None, :],
+                                  wk_t * vim_s[None, :]], axis=0)
+        wins = grid_packed_pallas(
+            block_bucket, ubase, vband, scales, splan.num_buckets,
+            plan.subgrid_size, plan.w_support, block_v=splan.block_v,
+            fast=self.fast, interpret=self.interpret)
+        layers = _fold_windows(wins, visited, len(splan.tasks),
+                               splan.num_slabs, splan.num_octets,
+                               plan.w_support, splan.num_layers,
+                               self.interpret)
+        layers = ifft_shifted(layers)
+        subgrids = jnp.einsum("tkuv,kuv->tuv", layers, self.ladder) \
+            * self.pref
+        subgrids = fft_shifted(subgrids)
+
+        image_size = plan.image_size
+        sg_factor = (image_size / plan.subgrid_size) ** 2
+        per_plane = {iw: jnp.zeros((image_size, image_size),
+                                   jnp.complex64)
+                     for iw in splan.w_plane_ids}
+        for t, task in enumerate(splan.tasks):
+            per_plane[task.iw] = subgrid_add_static(
+                per_plane[task.iw], -task.iu * plan.eff_sg_size,
+                -task.iv * plan.eff_sg_size, subgrids[t], sg_factor)
+        planes = jnp.stack([per_plane[iw] for iw in splan.w_plane_ids])
+        chunk_img = _planes_to_image(
+            self._kernel, planes,
+            [int(np.trunc(iw * plan.w_tower_height))
+             for iw in splan.w_plane_ids])
+
+        # A capacity overflow voids the WHOLE chunk (never a silently
+        # truncated image) and finalize raises.
+        gain = jnp.where(overflow, 0.0, 1.0).astype(jnp.float32)
+        return (image + gain * chunk_img,
+                processed_acc + processed,
+                dropped_acc + jnp.where(overflow, 0, dropped),
+                voided_acc + overflow.astype(jnp.int32))
+
+    # -- jitted degrid (predict) path -----------------------------------
+
+    def _model_stack_impl(self, image):
+        """Model image -> padded per-(task, layer) plane stack for the
+        fused degrid kernel (mirror of PackedGridder._dstage_planes +
+        _dstage_layers; computed once per model, reused per chunk)."""
+        from ..fourier_transforms.fft import ifft_shifted_norm
+        from ..grid_data.gridder_utils import subgrid_cut_out_static
+        from .packed import _image_to_plane_stack
+
+        splan = self.splan
+        plan = splan.wplan
+        sgs = plan.subgrid_size
+        plane_stack = _image_to_plane_stack(
+            self._kernel, image,
+            [int(np.trunc(iw * plan.w_tower_height))
+             for iw in splan.w_plane_ids])
+        plane_pos = {iw: i for i, iw in enumerate(splan.w_plane_ids)}
+        subgrids = jnp.stack([
+            subgrid_cut_out_static(
+                plane_stack[plane_pos[task.iw]],
+                task.iu * plan.eff_sg_size,
+                task.iv * plan.eff_sg_size, sgs)
+            for task in splan.tasks]).astype(jnp.complex64)
+        subgrids = ifft_shifted_norm(subgrids)
+        layers = fft_shifted(
+            (subgrids * self.pref_degrid)[:, None, :, :]
+            * self.ladder_degrid[None])
+        st = jnp.stack([layers.real.astype(jnp.float32),
+                        layers.imag.astype(jnp.float32)])
+        st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
+        return st.reshape(2, len(splan.tasks) * splan.num_layers,
+                          sgs + 8, sgs)
+
+    def _dstep_impl(self, processed_acc, dropped_acc, voided_acc,
+                    uvw, row_mask, st):
+        from ..kernels.packed_tap import degrid_fused_pallas
+
+        splan = self.splan
+        plan = splan.wplan
+        (arrays, order, dest, block_bucket, visited, processed,
+         dropped, overflow) = self._plan_chunk(uvw, row_mask)
+
+        uk = eval_kernel_taps(arrays["u_frac"], self._uv_c,
+                              plan.oversampling)
+        vk = eval_kernel_taps(arrays["v_frac"], self._uv_c,
+                              plan.oversampling)
+        wk = jnp.where(arrays["valid"][:, None],
+                       eval_kernel_taps(arrays["w_row"], self._w_c,
+                                        plan.w_oversampling), 0.0)
+        ubase, _, vband_t = build_bands(arrays["u_off"], arrays["iv0"],
+                                        uk, vk, plan.subgrid_size)
+        if self.fast:
+            vband_t = vband_t.astype(jnp.bfloat16)
+
+        # Per-block (plane, u-octet, v-quad) tile coordinates from the
+        # traced block->bucket map (PackedGridder precomputes these on
+        # the host; here they are three integer ops on device).
+        bb = block_bucket
+        octet = jnp.mod(bb, splan.num_octets)
+        slab = jnp.mod(bb // splan.num_octets, splan.num_slabs)
+        task_b = bb // (splan.num_octets * splan.num_slabs)
+        p_idx = task_b * splan.num_layers + slab
+        hv_idx = jnp.zeros_like(bb)
+
+        out_sorted = degrid_fused_pallas(
+            st, p_idx, octet, hv_idx, ubase, vband_t, wk.T,
+            plan.w_support, block_v=splan.block_v, fast=self.fast,
+            interpret=self.interpret)
+        # Back to (row, chan) order: gather through the device-computed
+        # destination map; dropped/padded entries point at the
+        # guaranteed-zero extra slot.
+        dest_by_orig = jnp.full((uvw.shape[0] * plan.num_chan,),
+                                splan.cap, jnp.int32)
+        dest_by_orig = dest_by_orig.at[order].set(
+            jnp.minimum(dest, splan.cap).astype(jnp.int32))
+        padded = jnp.concatenate(
+            [out_sorted, jnp.zeros((1,), out_sorted.dtype)])
+        vis = padded[dest_by_orig].reshape(uvw.shape[0], plan.num_chan)
+        vis = jnp.where(overflow, jnp.zeros_like(vis), vis)
+        return (vis,
+                processed_acc + processed,
+                dropped_acc + jnp.where(overflow, 0, dropped),
+                voided_acc + overflow.astype(jnp.int32))
+
+
+class StreamingGridder:
+    """Accumulates a dirty image over visibility chunks, planning on
+    device (see module docstring). The compiled engine is shared
+    across instances of the same (plan, fast) via a value-keyed cache.
+
+    >>> sg = StreamingGridder(plan_stream(wplan, stream_tasks(wplan,
+    ...                                   uvw_meta), chunk_rows=4096))
+    >>> for uvw_c, vis_c, wgt_c in chunks:
+    ...     sg.accumulate(uvw_c, vis_c, wgt_c)
+    >>> image = sg.finalize()
+    """
+
+    def __init__(self, splan: StreamPlan, fast: bool = False):
+        self.splan = splan
+        self.fast = bool(fast)
+        self._engine = _stream_engine(splan, fast)
+        plan = splan.wplan
+        self._image = jnp.zeros((plan.image_size, plan.image_size),
+                                jnp.float32)
+        # Device counters (int32: fine to ~2e9 visibilities/stream).
+        self._processed = jnp.zeros((), jnp.int32)
+        self._dropped = jnp.zeros((), jnp.int32)
+        self._voided = jnp.zeros((), jnp.int32)   # capacity overflows
+        self._expected = 0                         # host-side
+        self._finalized = None
+
+    def accumulate(self, uvw, vis, weights: Optional[Array] = None):
+        """Grid one chunk: uvw [R, 3], vis [R, num_chan] complex
+        (R <= chunk_rows; short chunks are padded and masked)."""
+        if self._finalized is not None:
+            raise SdpRuntimeError("stream already finalized")
+        splan = self.splan
+        uvw = np.asarray(jax.device_get(uvw)) \
+            if isinstance(uvw, jax.Array) else np.asarray(uvw)
+        rows = uvw.shape[0]
+        if uvw.ndim != 2 or uvw.shape[1] != 3:
+            raise SdpInvalidArgumentError(
+                f"uvw must be [rows, 3], got {uvw.shape}")
+        if rows > splan.chunk_rows:
+            raise SdpInvalidArgumentError(
+                f"chunk has {rows} rows > chunk_rows="
+                f"{splan.chunk_rows}")
+        if vis.shape[0] != rows or vis.shape[1] != splan.wplan.num_chan:
+            raise SdpInvalidArgumentError(
+                f"vis must be [{rows}, {splan.wplan.num_chan}], "
+                f"got {tuple(vis.shape)}")
+        pad = splan.chunk_rows - rows
+        uvw32 = np.zeros((splan.chunk_rows, 3), np.float32)
+        uvw32[:rows] = uvw
+        row_mask = np.zeros(splan.chunk_rows, bool)
+        row_mask[:rows] = True
+        vis = jnp.asarray(vis)
+        vre = jnp.real(vis).astype(jnp.float32)
+        vim = jnp.imag(vis).astype(jnp.float32)
+        if weights is not None:
+            wgt = jnp.asarray(weights).astype(jnp.float32)
+            vre, vim = vre * wgt, vim * wgt
+        if pad:
+            vre = jnp.concatenate(
+                [vre, jnp.zeros((pad, vre.shape[1]), jnp.float32)])
+            vim = jnp.concatenate(
+                [vim, jnp.zeros((pad, vim.shape[1]), jnp.float32)])
+        (self._image, self._processed, self._dropped,
+         self._voided) = self._engine.step(
+            self._image, self._processed, self._dropped, self._voided,
+            jnp.asarray(uvw32), jnp.asarray(row_mask), vre, vim)
+        self._expected += rows * splan.wplan.num_chan
+
+    @property
+    def image(self) -> Array:
+        """Current accumulated dirty image (no host sync)."""
+        return self._image
+
+    def counters(self):
+        """(processed, dropped, voided_chunks) device scalars."""
+        return self._processed, self._dropped, self._voided
+
+    def finalize(self, check: bool = True) -> Array:
+        """Return the accumulated image; with ``check`` (default),
+        enforce the processed-vis invariant
+        (sdp_grid_wstack_wtower.cpp:442-448) — one host readback."""
+        if self._finalized is None:
+            self._finalized = self._image
+        if check:
+            processed = int(self._processed)
+            dropped = int(self._dropped)
+            voided = int(self._voided)
+            if voided:
+                raise SdpRuntimeError(
+                    f"{voided} chunk(s) exceeded the padded stream "
+                    f"capacity ({self.splan.cap} slots) and were "
+                    "voided; raise cap_factor or shrink chunks")
+            if dropped or processed != self._expected:
+                raise SdpRuntimeError(
+                    f"stream processed {processed} of "
+                    f"{self._expected} visibilities ({dropped} "
+                    "outside the task set / tower ranges)")
+        return self._finalized
+
+
+class StreamingDegridder:
+    """Predict (degrid) visibilities for a model image, chunk by
+    chunk, planning on device — the predict half of a streaming
+    selfcal/calibration loop. Shares the compiled engine (and the
+    device plan arithmetic) with :class:`StreamingGridder`.
+
+    The model's padded (task, layer) plane stack is computed once per
+    :meth:`set_model`; each :meth:`predict` chunk then costs one H2D
+    transfer (uvw) and one D2H (the predicted visibilities).
+    Visibilities outside the task set predict zero AND are counted;
+    :meth:`check` surfaces them (the degrid twin of the gridding
+    count invariant).
+    """
+
+    def __init__(self, splan: StreamPlan, fast: bool = False):
+        self.splan = splan
+        self.fast = bool(fast)
+        self._engine = _stream_engine(splan, fast)
+        self._st = None
+        self._processed = jnp.zeros((), jnp.int32)
+        self._dropped = jnp.zeros((), jnp.int32)
+        self._voided = jnp.zeros((), jnp.int32)
+        self._expected = 0
+
+    def set_model(self, image: Array):
+        """Set (or replace) the model image; returns self."""
+        plan = self.splan.wplan
+        image = jnp.asarray(image)
+        if image.shape != (plan.image_size, plan.image_size):
+            raise SdpInvalidArgumentError(
+                f"model must be [{plan.image_size}, {plan.image_size}]"
+                f", got {tuple(image.shape)}")
+        self._st = self._engine.model_stack(image)
+        return self
+
+    def predict(self, uvw) -> Array:
+        """uvw [R, 3] -> predicted visibilities [R, num_chan]
+        complex64 (R <= chunk_rows; short chunks padded+masked)."""
+        if self._st is None:
+            raise SdpRuntimeError("call set_model(image) first")
+        splan = self.splan
+        uvw = np.asarray(jax.device_get(uvw)) \
+            if isinstance(uvw, jax.Array) else np.asarray(uvw)
+        if uvw.ndim != 2 or uvw.shape[1] != 3:
+            raise SdpInvalidArgumentError(
+                f"uvw must be [rows, 3], got {uvw.shape}")
+        rows = uvw.shape[0]
+        if rows > splan.chunk_rows:
+            raise SdpInvalidArgumentError(
+                f"chunk has {rows} rows > chunk_rows="
+                f"{splan.chunk_rows}")
+        uvw32 = np.zeros((splan.chunk_rows, 3), np.float32)
+        uvw32[:rows] = uvw
+        row_mask = np.zeros(splan.chunk_rows, bool)
+        row_mask[:rows] = True
+        vis, self._processed, self._dropped, self._voided = \
+            self._engine.dstep(
+                self._processed, self._dropped, self._voided,
+                jnp.asarray(uvw32), jnp.asarray(row_mask), self._st)
+        self._expected += rows * splan.wplan.num_chan
+        return vis[:rows]
+
+    def counters(self):
+        """(processed, dropped, voided_chunks) device scalars."""
+        return self._processed, self._dropped, self._voided
+
+    def check(self):
+        """Raise if any visibility predicted zero because it fell
+        outside the task set / capacity (one host readback)."""
+        processed, dropped, voided = (int(x) for x in self.counters())
+        if voided:
+            raise SdpRuntimeError(
+                f"{voided} predict chunk(s) exceeded the padded "
+                f"stream capacity ({self.splan.cap} slots) and "
+                "returned zeros; raise cap_factor or shrink chunks")
+        if dropped or processed != self._expected:
+            raise SdpRuntimeError(
+                f"predicted {processed} of {self._expected} "
+                f"visibilities ({dropped} outside the task set / "
+                "tower ranges returned zeros)")

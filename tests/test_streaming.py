@@ -1,0 +1,264 @@
+"""Streaming (device-planned, chunked) gridder vs the host-planned
+packed path.
+
+The device planner re-derives the quantised geometry in f32; parity
+with the f64 host planner is exact on bucket/plane assignment for
+non-adversarial uvw and within one oversample bin on tap rows (see
+parallel/streaming.py precision note), so images are compared on the
+interior (the 1/PSWF grid correction amplifies f32-level noise at the
+border ring — the reference tests exclude a border for the same
+reason, test_gridder_wtower_uvw.py:2188-2193).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ska_sdp_func_tpu.parallel import (
+    StreamingDegridder,
+    StreamingGridder,
+    packed_gridder,
+    plan_packed,
+    plan_stream,
+    plan_wstack,
+    stream_tasks,
+)
+from ska_sdp_func_tpu.utility.errors import (
+    SdpInvalidArgumentError,
+    SdpRuntimeError,
+)
+
+C_0 = 299792458.0
+
+PARAMS = dict(
+    subgrid_size=128,
+    theta=0.002,
+    w_step=50.0,
+    shear_u=0.0,
+    shear_v=0.0,
+    support=8,
+    oversampling=16 * 1024,
+    w_support=4,
+    w_oversampling=16 * 1024,
+    subgrid_frac=2.0 / 3.0,
+    w_tower_height=4.0,
+)
+IMAGE_SIZE = 256
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    rng = np.random.default_rng(5)
+    num_rows, num_chan = 150, 2
+    uvw = rng.uniform(-1, 1, (num_rows, 3))
+    uvw[:, :2] *= 0.3 * IMAGE_SIZE / 2 / PARAMS["theta"]
+    uvw[:, 2] *= 2.0 * PARAMS["w_step"] * PARAMS["w_tower_height"] / 2
+    vis = (rng.standard_normal((num_rows, num_chan))
+           + 1j * rng.standard_normal((num_rows, num_chan))
+           ).astype(np.complex64)
+    plan = plan_wstack(uvw, C_0, C_0 / 100, num_chan, IMAGE_SIZE,
+                       **PARAMS)
+    boxes = stream_tasks(plan, uvw)
+    return dict(uvw=uvw, vis=vis, plan=plan, boxes=boxes,
+                num_chan=num_chan)
+
+
+def test_stream_tasks_matches_host_planner(scenario):
+    s = scenario
+    pplan = plan_packed(s["plan"], s["uvw"], block_v=128)
+    host_boxes = sorted((t.iw, t.iu, t.iv) for t in pplan.tasks)
+    stream_boxes = sorted(map(tuple, np.asarray(s["boxes"])))
+    assert host_boxes == stream_boxes
+
+
+def test_streaming_matches_packed_interior(scenario):
+    """Chunked device-planned gridding == host-planned packed gridding
+    on the image interior (f32 floor; border ring excluded, see module
+    docstring)."""
+    s = scenario
+    g = packed_gridder(plan_packed(s["plan"], s["uvw"], block_v=128))
+    img_ref = np.asarray(g.grid(jnp.asarray(s["vis"])))
+
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=20480)
+    sg = StreamingGridder(sp)
+    rows = s["uvw"].shape[0]
+    for lo in range(0, rows, 64):
+        hi = min(rows, lo + 64)
+        sg.accumulate(s["uvw"][lo:hi], s["vis"][lo:hi])
+    img = np.asarray(sg.finalize())
+
+    m = 32
+    peak = np.abs(img_ref[m:-m, m:-m]).max()
+    np.testing.assert_allclose(img[m:-m, m:-m], img_ref[m:-m, m:-m],
+                               atol=2e-4 * peak)
+    processed, dropped, voided = (int(x) for x in sg.counters())
+    assert processed == rows * s["num_chan"]
+    assert dropped == 0 and voided == 0
+
+
+@pytest.mark.slow
+def test_streaming_chunking_invariance(scenario):
+    """One chunk == three chunks (gridding is linear; identical
+    quantisation per visibility either way)."""
+    s = scenario
+    rows = s["uvw"].shape[0]
+    sp1 = plan_stream(s["plan"], s["boxes"], chunk_rows=rows,
+                      block_v=128, cap_slots=40000)
+    sg1 = StreamingGridder(sp1)
+    sg1.accumulate(s["uvw"], s["vis"])
+    img1 = np.asarray(sg1.finalize())
+
+    sp3 = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                      block_v=128, cap_slots=40000)
+    sg3 = StreamingGridder(sp3)
+    for lo in range(0, rows, 64):
+        hi = min(rows, lo + 64)
+        sg3.accumulate(s["uvw"][lo:hi], s["vis"][lo:hi])
+    img3 = np.asarray(sg3.finalize())
+    # Chunking reassociates the f32 bucket sums (intermediate subgrid
+    # magnitudes are ~1e4 here) and the border-adjacent correction
+    # amplifies that noise — same envelope as the packed parity test.
+    m = 32
+    scale = np.abs(img1[m:-m, m:-m]).max()
+    np.testing.assert_allclose(img3[m:-m, m:-m], img1[m:-m, m:-m],
+                               atol=2e-4 * scale)
+
+
+def test_streaming_weights(scenario):
+    """Weights scale visibilities on the gridding side (reference
+    grid_uvw_es_fft weight semantics)."""
+    s = scenario
+    rows = 8
+    # Shares the parity test's engine shape (cached compile).
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=20480)
+    sg_w = StreamingGridder(sp)
+    wgt = np.full((rows, s["num_chan"]), 0.5, np.float32)
+    sg_w.accumulate(s["uvw"][:rows], s["vis"][:rows], weights=wgt)
+    img_w = np.asarray(sg_w.finalize())
+    sg = StreamingGridder(sp)
+    sg.accumulate(s["uvw"][:rows], 0.5 * s["vis"][:rows])
+    img = np.asarray(sg.finalize())
+    np.testing.assert_allclose(img_w, img, rtol=0, atol=1e-6
+                               * max(np.abs(img).max(), 1e-9))
+
+
+def test_streaming_counts_dropped_and_raises(scenario):
+    """Visibilities outside the task set are counted and surfaced at
+    finalize (processed-vis invariant,
+    sdp_grid_wstack_wtower.cpp:442-448) — never silently dropped."""
+    s = scenario
+    # Same (chunk_rows, cap) as the parity test: the engine cache
+    # shares the compiled step, so this test compiles nothing.
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=20480)
+    sg = StreamingGridder(sp)
+    uvw_bad = s["uvw"][:8].copy()
+    uvw_bad[0, 0] *= 50.0     # far outside the task boxes
+    sg.accumulate(uvw_bad, s["vis"][:8])
+    _, dropped, _ = sg.counters()
+    assert int(dropped) == s["num_chan"]
+    with pytest.raises(SdpRuntimeError):
+        sg.finalize()
+
+
+@pytest.mark.slow
+def test_streaming_overflow_voids_chunk(scenario):
+    """A chunk exceeding the padded-stream capacity contributes
+    nothing (no silently truncated image) and finalize raises."""
+    s = scenario
+    rows = s["uvw"].shape[0]
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=rows,
+                     block_v=128, cap_slots=256)
+    sg = StreamingGridder(sp)
+    sg.accumulate(s["uvw"], s["vis"])
+    assert int(sg.counters()[2]) == 1
+    assert float(jnp.abs(sg.image).max()) == 0.0
+    with pytest.raises(SdpRuntimeError, match="capacity"):
+        sg.finalize()
+
+
+def test_streaming_rejects_bad_shapes(scenario):
+    s = scenario
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=16,
+                     block_v=128, cap_slots=20000)
+    sg = StreamingGridder(sp)
+    with pytest.raises(SdpInvalidArgumentError):
+        sg.accumulate(s["uvw"][:32], s["vis"][:32])     # > chunk_rows
+    with pytest.raises(SdpInvalidArgumentError):
+        sg.accumulate(s["uvw"][:8, :2], s["vis"][:8])   # uvw not [R,3]
+    with pytest.raises(SdpInvalidArgumentError):
+        sg.accumulate(s["uvw"][:8], s["vis"][:7])       # row mismatch
+    with pytest.raises(SdpInvalidArgumentError):
+        plan_stream(s["plan"], np.zeros((0, 3)), chunk_rows=16)
+    with pytest.raises(SdpInvalidArgumentError):
+        plan_stream(s["plan"], s["boxes"], chunk_rows=0)
+
+
+@pytest.mark.slow
+def test_streaming_partial_chunk_padding(scenario):
+    """Short chunks are padded+masked: same image as exact-size
+    chunks."""
+    s = scenario
+    rows = 96
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=40000)
+    sg_a = StreamingGridder(sp)
+    sg_a.accumulate(s["uvw"][:64], s["vis"][:64])
+    sg_a.accumulate(s["uvw"][64:rows], s["vis"][64:rows])  # 32 rows
+    img_a = np.asarray(sg_a.finalize())
+
+    sp_b = plan_stream(s["plan"], s["boxes"], chunk_rows=48,
+                       block_v=128, cap_slots=40000)
+    sg_b = StreamingGridder(sp_b)
+    sg_b.accumulate(s["uvw"][:48], s["vis"][:48])
+    sg_b.accumulate(s["uvw"][48:rows], s["vis"][48:rows])
+    img_b = np.asarray(sg_b.finalize())
+    m = 32
+    scale = max(np.abs(img_a[m:-m, m:-m]).max(), 1e-9)
+    np.testing.assert_allclose(img_b[m:-m, m:-m], img_a[m:-m, m:-m],
+                               atol=2e-4 * scale)
+
+
+def test_streaming_predict_matches_packed(scenario):
+    """Chunked device-planned predict == host-planned packed degrid
+    (same f32 kernels; geometry quantisation jitter only)."""
+    s = scenario
+    rng = np.random.default_rng(11)
+    model = rng.standard_normal(
+        (IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32)
+    # Zero the border ring: the degrid correction divides by the PSWF,
+    # which diverges there (~1e9 amplification) — physical models are
+    # border-free and the packed parity tests exclude it likewise.
+    m = 32
+    model[:m], model[-m:], model[:, :m], model[:, -m:] = 0, 0, 0, 0
+    g = packed_gridder(plan_packed(s["plan"], s["uvw"], block_v=128))
+    vis_ref = np.asarray(g.degrid(jnp.asarray(model)))
+
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=20480)
+    sd = StreamingDegridder(sp).set_model(model)
+    rows = s["uvw"].shape[0]
+    out = np.concatenate([
+        np.asarray(sd.predict(s["uvw"][lo:min(rows, lo + 64)]))
+        for lo in range(0, rows, 64)])
+    sd.check()
+    scale = np.abs(vis_ref).max()
+    np.testing.assert_allclose(out, vis_ref, atol=2e-4 * scale)
+
+
+def test_streaming_predict_dropped_raises(scenario):
+    s = scenario
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=20480)
+    sd = StreamingDegridder(sp).set_model(
+        np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float32))
+    uvw_bad = s["uvw"][:4].copy()
+    uvw_bad[1, 1] *= 50.0
+    vis = np.asarray(sd.predict(uvw_bad))
+    assert vis.shape == (4, s["num_chan"])
+    with pytest.raises(SdpRuntimeError):
+        sd.check()
+    with pytest.raises(SdpRuntimeError):
+        StreamingDegridder(sp).predict(s["uvw"][:4])   # no model set
