@@ -297,14 +297,23 @@ class _StreamEngine:
         self.step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3))
         self.dstep = jax.jit(self._dstep_impl, donate_argnums=(0, 1, 2))
         self.model_stack = jax.jit(self._model_stack_impl)
+        self._sharded_cache: dict = {}
 
     # -- device planning (all jnp, traced) -----------------------------
 
-    def _plan_chunk(self, uvw, row_mask):
+    def _plan_chunk(self, uvw, row_mask, cap: int = None,
+                    num_blocks: int = None):
         """Per-chunk device plan: the quantised geometry of
-        plan_packed/packed_entry in f32 (see module precision note)."""
+        plan_packed/packed_entry in f32 (see module precision note).
+
+        ``cap``/``num_blocks`` default to the plan's stream capacity;
+        the mesh-sharded step passes the per-shard split.
+        """
         splan = self.splan
         plan = splan.wplan
+        cap = splan.cap if cap is None else cap
+        num_blocks = (splan.num_blocks if num_blocks is None
+                      else num_blocks)
         d = np.float32(plan.eff_sg_dist)
         theta_ov = np.float32(plan.theta * plan.oversampling)
         ov = plan.oversampling
@@ -365,7 +374,7 @@ class _StreamEngine:
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(padded).astype(jnp.int32)])
         total = pad_off[-1]
-        overflow = total > splan.cap
+        overflow = total > cap
 
         order = jnp.argsort(bucket, stable=True)
         b_s = bucket[order]
@@ -376,11 +385,11 @@ class _StreamEngine:
         dest = jnp.where(
             b_s < nb,
             pad_off[jnp.minimum(b_s, nb - 1)] + rank,
-            splan.cap)                      # sentinel -> dropped
-        dest = jnp.where(overflow, splan.cap, dest)
+            cap)                            # sentinel -> dropped
+        dest = jnp.where(overflow, cap, dest)
 
         def scatter(x, dtype=None):
-            out = jnp.zeros((splan.cap,), dtype or x.dtype)
+            out = jnp.zeros((cap,), dtype or x.dtype)
             return out.at[dest].set(x[order], mode="drop")
 
         arrays = dict(
@@ -388,7 +397,7 @@ class _StreamEngine:
             u_frac=scatter(u_frac), v_frac=scatter(v_frac),
             w_row=scatter(w_row),
             valid=scatter(ok, jnp.bool_))
-        slots = jnp.arange(splan.num_blocks,
+        slots = jnp.arange(num_blocks,
                            dtype=jnp.int32) * splan.block_v
         block_bucket = jnp.clip(
             jnp.searchsorted(pad_off[1:], slots, side="right"),
@@ -405,12 +414,25 @@ class _StreamEngine:
 
     # -- jitted chunk step ---------------------------------------------
 
-    def _step_impl(self, image, processed_acc, dropped_acc, voided_acc,
-                   uvw, row_mask, vre, vim):
+    def _planes_core(self, uvw, row_mask, vre, vim, cap: int,
+                     num_blocks: int, void=None):
+        """Device plan -> taps -> packed kernel -> fold -> drain ->
+        per-w-plane uv grids ``[P, N, N]`` (pre-correction) + counters.
+
+        ``void``: optional traced-flag combiner applied to the local
+        overflow flag (the mesh-sharded step psums it so ALL shards
+        void the chunk together — a half-voided chunk would be a
+        silently truncated image).
+        """
         splan = self.splan
         plan = splan.wplan
         (arrays, order, dest, block_bucket, visited, processed,
-         dropped, overflow) = self._plan_chunk(uvw, row_mask)
+         dropped, overflow) = self._plan_chunk(uvw, row_mask, cap,
+                                               num_blocks)
+        if void is not None:
+            overflow = void(overflow)
+            visited = visited & jnp.logical_not(overflow)
+            processed = jnp.where(overflow, 0, processed)
 
         uk = eval_kernel_taps(arrays["u_frac"], self._uv_c,
                               plan.oversampling)
@@ -426,7 +448,7 @@ class _StreamEngine:
         wk_t = wk.T
 
         def sort_vis(x):
-            out = jnp.zeros((splan.cap,), jnp.float32)
+            out = jnp.zeros((cap,), jnp.float32)
             return out.at[dest].set(x.ravel()[order], mode="drop")
 
         vre_s, vim_s = sort_vis(vre), sort_vis(vim)
@@ -455,18 +477,85 @@ class _StreamEngine:
                 per_plane[task.iw], -task.iu * plan.eff_sg_size,
                 -task.iv * plan.eff_sg_size, subgrids[t], sg_factor)
         planes = jnp.stack([per_plane[iw] for iw in splan.w_plane_ids])
-        chunk_img = _planes_to_image(
-            self._kernel, planes,
-            [int(np.trunc(iw * plan.w_tower_height))
-             for iw in splan.w_plane_ids])
+        return planes, processed, dropped, overflow
 
+    def _plane_offsets(self):
+        plan = self.splan.wplan
+        return [int(np.trunc(iw * plan.w_tower_height))
+                for iw in self.splan.w_plane_ids]
+
+    def _step_impl(self, image, processed_acc, dropped_acc, voided_acc,
+                   uvw, row_mask, vre, vim):
+        splan = self.splan
+        planes, processed, dropped, overflow = self._planes_core(
+            uvw, row_mask, vre, vim, splan.cap, splan.num_blocks)
+        chunk_img = _planes_to_image(self._kernel, planes,
+                                     self._plane_offsets())
         # A capacity overflow voids the WHOLE chunk (never a silently
-        # truncated image) and finalize raises.
+        # truncated image; visited was already zeroed) and finalize
+        # raises.
         gain = jnp.where(overflow, 0.0, 1.0).astype(jnp.float32)
         return (image + gain * chunk_img,
                 processed_acc + processed,
                 dropped_acc + jnp.where(overflow, 0, dropped),
                 voided_acc + overflow.astype(jnp.int32))
+
+    # -- mesh-sharded chunk steps (rows shard; planes/counters psum) ----
+
+    def sharded_step(self, mesh, axis_name: str = "rows"):
+        """Compiled row-sharded chunk step over ``mesh`` (cached).
+
+        Each device plans and grids its row shard against the FULL
+        static task set with a per-shard capacity of ``cap / n``;
+        per-w-plane uv grids reduce with one ``psum`` over ICI.
+        Overflow is psum'd BEFORE the fold so a chunk voids on all
+        shards together. (Unlike PackedGridder's block-sharding, the
+        shard->task ranges are data-dependent here, so every shard
+        drains all T tasks — the kernel work dominates for the dense
+        chunks streaming targets.)
+        """
+        from jax.sharding import PartitionSpec as P
+
+        n = int(mesh.devices.size)
+        key = ("grid", tuple(d.id for d in mesh.devices.flat),
+               axis_name)
+        fn = self._sharded_cache.get(key)
+        if fn is not None:
+            return fn
+        splan = self.splan
+        if splan.chunk_rows % n or splan.cap % (n * splan.block_v):
+            raise SdpInvalidArgumentError(
+                f"chunk_rows ({splan.chunk_rows}) must divide by the "
+                f"mesh size ({n}) and cap ({splan.cap}) by n*block_v")
+        cap_s = splan.cap // n
+        nblk_s = cap_s // splan.block_v
+
+        def body(image, processed_acc, dropped_acc, voided_acc,
+                 uvw, row_mask, vre, vim):
+            planes, processed, dropped, overflow = self._planes_core(
+                uvw, row_mask, vre, vim, cap_s, nblk_s,
+                void=lambda o: jax.lax.psum(
+                    o.astype(jnp.int32), axis_name) > 0)
+            planes = jax.lax.psum(planes, axis_name)
+            chunk_img = _planes_to_image(self._kernel, planes,
+                                         self._plane_offsets())
+            gain = jnp.where(overflow, 0.0, 1.0).astype(jnp.float32)
+            processed = jax.lax.psum(processed, axis_name)
+            dropped = jax.lax.psum(dropped, axis_name)
+            return (image + gain * chunk_img,
+                    processed_acc + processed,
+                    dropped_acc + jnp.where(overflow, 0, dropped),
+                    voided_acc + overflow.astype(jnp.int32))
+
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(),
+                      P(axis_name), P(axis_name), P(axis_name),
+                      P(axis_name)),
+            out_specs=(P(), P(), P(), P()), check_vma=False),
+            donate_argnums=(0, 1, 2, 3))
+        lru_insert(self._sharded_cache, key, fn)
+        return fn
 
     # -- jitted degrid (predict) path -----------------------------------
 
@@ -558,6 +647,9 @@ class StreamingGridder:
     """Accumulates a dirty image over visibility chunks, planning on
     device (see module docstring). The compiled engine is shared
     across instances of the same (plan, fast) via a value-keyed cache.
+    With ``mesh=`` the chunk's rows shard across the device mesh and
+    per-w-plane grids reduce with ``psum`` (chunk_rows and cap must
+    divide by the mesh size).
 
     >>> sg = StreamingGridder(plan_stream(wplan, stream_tasks(wplan,
     ...                                   uvw_meta), chunk_rows=4096))
@@ -566,10 +658,13 @@ class StreamingGridder:
     >>> image = sg.finalize()
     """
 
-    def __init__(self, splan: StreamPlan, fast: bool = False):
+    def __init__(self, splan: StreamPlan, fast: bool = False,
+                 mesh=None, axis_name: str = "rows"):
         self.splan = splan
         self.fast = bool(fast)
         self._engine = _stream_engine(splan, fast)
+        self._step = (self._engine.step if mesh is None
+                      else self._engine.sharded_step(mesh, axis_name))
         plan = splan.wplan
         self._image = jnp.zeros((plan.image_size, plan.image_size),
                                 jnp.float32)
@@ -617,7 +712,7 @@ class StreamingGridder:
             vim = jnp.concatenate(
                 [vim, jnp.zeros((pad, vim.shape[1]), jnp.float32)])
         (self._image, self._processed, self._dropped,
-         self._voided) = self._engine.step(
+         self._voided) = self._step(
             self._image, self._processed, self._dropped, self._voided,
             jnp.asarray(uvw32), jnp.asarray(row_mask), vre, vim)
         self._expected += rows * splan.wplan.num_chan

@@ -262,3 +262,29 @@ def test_streaming_predict_dropped_raises(scenario):
         sd.check()
     with pytest.raises(SdpRuntimeError):
         StreamingDegridder(sp).predict(s["uvw"][:4])   # no model set
+
+
+@pytest.mark.slow
+def test_streaming_sharded_matches_single(scenario):
+    """Row-sharded chunk step over the virtual mesh == single-device
+    streaming (planes psum; counters psum; same f32 plan per shard)."""
+    from ska_sdp_func_tpu.parallel import make_mesh
+
+    s = scenario
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=4 * 20480)
+    rows = 128
+    sg1 = StreamingGridder(sp)
+    sg1.accumulate(s["uvw"][:64], s["vis"][:64])
+    sg1.accumulate(s["uvw"][64:rows], s["vis"][64:rows])
+    img1 = np.asarray(sg1.finalize())
+
+    mesh = make_mesh(4)
+    sgm = StreamingGridder(sp, mesh=mesh)
+    sgm.accumulate(s["uvw"][:64], s["vis"][:64])
+    sgm.accumulate(s["uvw"][64:rows], s["vis"][64:rows])
+    imgm = np.asarray(sgm.finalize())
+    m = 32
+    scale = np.abs(img1[m:-m, m:-m]).max()
+    np.testing.assert_allclose(imgm[m:-m, m:-m], img1[m:-m, m:-m],
+                               atol=2e-4 * scale)
