@@ -29,5 +29,8 @@ run exp_block_bf16 2400 env EXP_FAST=1 python experiments/exp_block.py
 run exp_parity 2400 python experiments/exp_parity.py
 # 5. Stage splits for PERFORMANCE.md.
 run bench_report 2400 env SKA_SDP_FUNC_TPU_BENCH_REPORT=1 python bench.py
+# 6. Streaming-ingest (device-planned) throughput vs packed.
+run exp_stream 2400 python experiments/exp_stream.py
+run exp_stream_bf16 2400 env EXP_FAST=1 python experiments/exp_stream.py
 
 echo "done: $LOG" | tee -a "$LOG"
