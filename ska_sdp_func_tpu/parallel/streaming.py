@@ -174,6 +174,9 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     if boxes.ndim != 2 or boxes.shape[1] != 3 or boxes.shape[0] == 0:
         raise SdpInvalidArgumentError(
             f"boxes must be [T, 3] (biw, biu, biv), got {boxes.shape}")
+    # Duplicate boxes would create ambiguous task ids (the LUT maps a
+    # box to exactly one task) — dedupe, preserving ascending order.
+    boxes = np.unique(boxes, axis=0)
     if chunk_rows <= 0:
         raise SdpInvalidArgumentError("chunk_rows must be positive")
     w_step, height = wplan.w_step, wplan.w_tower_height
@@ -212,9 +215,14 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     cap = cap_slots if cap_slots is not None else \
         int(math.ceil(num_vis * cap_factor / block_v)) * block_v
     cap = -(-int(cap) // block_v) * block_v
-    if cap >= 2 ** 31:
+    # The device plan's padded-offset cumsum runs in int32; its worst
+    # case is every bucket padded (num_vis + num_buckets*(block_v-1)).
+    if cap >= 2 ** 31 or \
+            num_vis + num_buckets * (block_v - 1) >= 2 ** 31:
         raise SdpInvalidArgumentError(
-            "stream capacity too large for int32 indexing")
+            "stream capacity / worst-case bucket padding too large "
+            "for int32 device indexing — reduce chunk_rows, block_v "
+            "or the task-box count")
 
     tasks = tuple(
         PackedTask(int(boxes[t, 1]), int(boxes[t, 2]),
@@ -691,7 +699,9 @@ class StreamingGridder:
             raise SdpInvalidArgumentError(
                 f"chunk has {rows} rows > chunk_rows="
                 f"{splan.chunk_rows}")
-        if vis.shape[0] != rows or vis.shape[1] != splan.wplan.num_chan:
+        vis = jnp.asarray(vis)
+        if vis.ndim != 2 or vis.shape[0] != rows \
+                or vis.shape[1] != splan.wplan.num_chan:
             raise SdpInvalidArgumentError(
                 f"vis must be [{rows}, {splan.wplan.num_chan}], "
                 f"got {tuple(vis.shape)}")
@@ -700,7 +710,6 @@ class StreamingGridder:
         uvw32[:rows] = uvw
         row_mask = np.zeros(splan.chunk_rows, bool)
         row_mask[:rows] = True
-        vis = jnp.asarray(vis)
         vre = jnp.real(vis).astype(jnp.float32)
         vim = jnp.imag(vis).astype(jnp.float32)
         if weights is not None:
