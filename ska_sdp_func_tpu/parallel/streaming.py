@@ -565,6 +565,49 @@ class _StreamEngine:
         lru_insert(self._sharded_cache, key, fn)
         return fn
 
+    def sharded_dstep(self, mesh, axis_name: str = "rows"):
+        """Compiled row-sharded predict step over ``mesh`` (cached).
+
+        Embarrassingly row-parallel: each device plans and degrids its
+        row shard from the replicated model plane stack; the predicted
+        visibilities stay row-sharded (no collective on the data path,
+        only the counter/void psums)."""
+        from jax.sharding import PartitionSpec as P
+
+        n = int(mesh.devices.size)
+        key = ("degrid", tuple(d.id for d in mesh.devices.flat),
+               axis_name)
+        fn = self._sharded_cache.get(key)
+        if fn is not None:
+            return fn
+        splan = self.splan
+        if splan.chunk_rows % n or splan.cap % (n * splan.block_v):
+            raise SdpInvalidArgumentError(
+                f"chunk_rows ({splan.chunk_rows}) must divide by the "
+                f"mesh size ({n}) and cap ({splan.cap}) by n*block_v")
+        cap_s = splan.cap // n
+        nblk_s = cap_s // splan.block_v
+
+        def body(processed_acc, dropped_acc, voided_acc,
+                 uvw, row_mask, st):
+            vis, processed, dropped, voided = self._dstep_core(
+                uvw, row_mask, st, cap_s, nblk_s,
+                void=lambda o: jax.lax.psum(
+                    o.astype(jnp.int32), axis_name) > 0)
+            processed = jax.lax.psum(processed, axis_name)
+            dropped = jax.lax.psum(dropped, axis_name)
+            return (vis, processed_acc + processed,
+                    dropped_acc + dropped, voided_acc + voided)
+
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(),
+                      P(axis_name), P(axis_name), P()),
+            out_specs=(P(axis_name), P(), P(), P()),
+            check_vma=False), donate_argnums=(0, 1, 2))
+        lru_insert(self._sharded_cache, key, fn)
+        return fn
+
     # -- jitted degrid (predict) path -----------------------------------
 
     def _model_stack_impl(self, image):
@@ -599,14 +642,20 @@ class _StreamEngine:
         return st.reshape(2, len(splan.tasks) * splan.num_layers,
                           sgs + 8, sgs)
 
-    def _dstep_impl(self, processed_acc, dropped_acc, voided_acc,
-                    uvw, row_mask, st):
+    def _dstep_core(self, uvw, row_mask, st, cap: int, num_blocks: int,
+                    void=None):
+        """Device plan -> taps -> fused degrid kernel -> (row, chan)
+        visibilities + counters (``void`` as in :meth:`_planes_core`)."""
         from ..kernels.packed_tap import degrid_fused_pallas
 
         splan = self.splan
         plan = splan.wplan
         (arrays, order, dest, block_bucket, visited, processed,
-         dropped, overflow) = self._plan_chunk(uvw, row_mask)
+         dropped, overflow) = self._plan_chunk(uvw, row_mask, cap,
+                                               num_blocks)
+        if void is not None:
+            overflow = void(overflow)
+            processed = jnp.where(overflow, 0, processed)
 
         uk = eval_kernel_taps(arrays["u_frac"], self._uv_c,
                               plan.oversampling)
@@ -638,17 +687,24 @@ class _StreamEngine:
         # destination map; dropped/padded entries point at the
         # guaranteed-zero extra slot.
         dest_by_orig = jnp.full((uvw.shape[0] * plan.num_chan,),
-                                splan.cap, jnp.int32)
+                                cap, jnp.int32)
         dest_by_orig = dest_by_orig.at[order].set(
-            jnp.minimum(dest, splan.cap).astype(jnp.int32))
+            jnp.minimum(dest, cap).astype(jnp.int32))
         padded = jnp.concatenate(
             [out_sorted, jnp.zeros((1,), out_sorted.dtype)])
         vis = padded[dest_by_orig].reshape(uvw.shape[0], plan.num_chan)
         vis = jnp.where(overflow, jnp.zeros_like(vis), vis)
-        return (vis,
-                processed_acc + processed,
-                dropped_acc + jnp.where(overflow, 0, dropped),
-                voided_acc + overflow.astype(jnp.int32))
+        return (vis, processed,
+                jnp.where(overflow, 0, dropped),
+                overflow.astype(jnp.int32))
+
+    def _dstep_impl(self, processed_acc, dropped_acc, voided_acc,
+                    uvw, row_mask, st):
+        splan = self.splan
+        vis, processed, dropped, voided = self._dstep_core(
+            uvw, row_mask, st, splan.cap, splan.num_blocks)
+        return (vis, processed_acc + processed,
+                dropped_acc + dropped, voided_acc + voided)
 
 
 class StreamingGridder:
@@ -772,10 +828,13 @@ class StreamingDegridder:
     count invariant).
     """
 
-    def __init__(self, splan: StreamPlan, fast: bool = False):
+    def __init__(self, splan: StreamPlan, fast: bool = False,
+                 mesh=None, axis_name: str = "rows"):
         self.splan = splan
         self.fast = bool(fast)
         self._engine = _stream_engine(splan, fast)
+        self._dstep = (self._engine.dstep if mesh is None else
+                       self._engine.sharded_dstep(mesh, axis_name))
         self._st = None
         self._processed = jnp.zeros((), jnp.int32)
         self._dropped = jnp.zeros((), jnp.int32)
@@ -814,7 +873,7 @@ class StreamingDegridder:
         row_mask = np.zeros(splan.chunk_rows, bool)
         row_mask[:rows] = True
         vis, self._processed, self._dropped, self._voided = \
-            self._engine.dstep(
+            self._dstep(
                 self._processed, self._dropped, self._voided,
                 jnp.asarray(uvw32), jnp.asarray(row_mask), self._st)
         self._expected += rows * splan.wplan.num_chan

@@ -288,3 +288,24 @@ def test_streaming_sharded_matches_single(scenario):
     scale = np.abs(img1[m:-m, m:-m]).max()
     np.testing.assert_allclose(imgm[m:-m, m:-m], img1[m:-m, m:-m],
                                atol=2e-4 * scale)
+
+
+@pytest.mark.slow
+def test_streaming_sharded_predict_matches_single(scenario):
+    """Row-sharded predict over the virtual mesh == single-device
+    predict (embarrassingly row-parallel; counters psum)."""
+    from ska_sdp_func_tpu.parallel import make_mesh
+
+    s = scenario
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=4 * 20480)
+    model = np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float32)
+    model[100, 120], model[170, 90] = 1.0, 0.6
+    sd1 = StreamingDegridder(sp).set_model(model)
+    v1 = np.asarray(sd1.predict(s["uvw"][:64]))
+    sd1.check()
+    sdm = StreamingDegridder(sp, mesh=make_mesh(4)).set_model(model)
+    vm = np.asarray(sdm.predict(s["uvw"][:64]))
+    sdm.check()
+    scale = max(np.abs(v1).max(), 1e-9)
+    np.testing.assert_allclose(vm, v1, atol=1e-5 * scale)
