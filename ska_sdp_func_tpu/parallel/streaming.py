@@ -26,11 +26,11 @@ evaluation, gridding, accumulation — runs on the TPU:
    fixed-capacity padded stream, and Chebyshev tap evaluation — then
    straight into the packed Pallas kernel and the shared fold/FFT/
    ladder/correction stages.
-3. **Accumulation**: the dirty-image accumulator is donated through
-   the jitted step, and processed/dropped/overflow counters live on
-   device, so a chunk costs exactly one H2D transfer (uvw + vis) and
-   zero readbacks; :meth:`StreamingGridder.finalize` reads the
-   counters once and enforces the processed-visibility invariant
+3. **Accumulation**: the dirty-image accumulator and the
+   processed/dropped/overflow counters live on device, so a chunk
+   costs exactly one H2D transfer (uvw + vis) and zero readbacks;
+   :meth:`StreamingGridder.finalize` reads the counters once and
+   enforces the processed-visibility invariant
    (reference: sdp_grid_wstack_wtower.cpp:442-448).
 
 Precision note: the host planner quantises in f64 and is the oracle;
@@ -85,32 +85,36 @@ _ETA = 1e-5   # tower-range guard, mirrors plan_packed / plan_wstack
 def stream_tasks(wplan: WStackPlan, uvw) -> np.ndarray:
     """Pre-scan uvw metadata for the occupied task boxes (host).
 
-    Returns ``[T, 3]`` int64 ``(biw, biu, biv)`` boxes. One native/
-    NumPy pass over (row, channel) keys — cheap relative to planning
-    (~40 ns/vis) and only needed once per observation; for a streaming
-    setting where even that is too much, pass the full box lattice the
-    image/w-range can host.
+    Returns ``[T, 3]`` int64 ``(biw, biu, biv)`` boxes. One NumPy pass
+    over (row, channel) keys — cheap relative to planning and only
+    needed once per observation; for a streaming setting where even
+    that is too much, pass the full box lattice the image/w-range can
+    host.
+
+    The quantisation here runs in **f32 with the device planner's
+    exact arithmetic** (NOT the host planner's f64): the box set must
+    contain precisely the boxes the device will assign, or a
+    visibility whose f64 and f32 quantisations straddle a box boundary
+    at the hull of the occupied set would be counted dropped and fail
+    an hours-long ingest at finalize. With identical arithmetic,
+    membership agrees by construction.
     """
-    from .. import native as native_runtime
     from ..utility.device import to_host
 
-    uvw = to_host(uvw, np.float64)
-    d = wplan.eff_sg_dist
-    wd = wplan.w_stack_dist
-    nat = native_runtime.packed_tasks(
-        uvw, wplan.freq0_hz, wplan.dfreq_hz or 10.0, wplan.num_chan,
-        d, wd)
-    if nat is not None:
-        _, boxes, _, _ = nat
-        return boxes
-    scale = (wplan.freq0_hz
-             + (wplan.dfreq_hz or 10.0) * np.arange(wplan.num_chan)) / C_0
+    uvw = to_host(uvw, np.float64).astype(np.float32)
+    # Reciprocal MULTIPLIES, not divisions: f32 mul/add/floor round
+    # identically on every backend, whereas a backend's f32 divide may
+    # differ by an ulp — enough to flip a box at the set's hull.
+    inv_d = np.float32(1.0 / wplan.eff_sg_dist)
+    inv_wd = np.float32(1.0 / wplan.w_stack_dist)
+    scale = ((wplan.freq0_hz + (wplan.dfreq_hz or 10.0)
+              * np.arange(wplan.num_chan)) / C_0).astype(np.float32)
     u = (uvw[:, 0:1] * scale[None, :]).ravel()
     v = (uvw[:, 1:2] * scale[None, :]).ravel()
     w = (uvw[:, 2:3] * scale[None, :]).ravel()
-    biu = np.floor(u / d + 0.5).astype(np.int64)
-    biv = np.floor(v / d + 0.5).astype(np.int64)
-    biw = np.floor(w / wd + 0.5).astype(np.int64)
+    biu = np.floor(u * inv_d + np.float32(0.5)).astype(np.int64)
+    biv = np.floor(v * inv_d + np.float32(0.5)).astype(np.int64)
+    biw = np.floor(w * inv_wd + np.float32(0.5)).astype(np.int64)
     span = 1 << 20
     key = ((biw + span // 2) * span + (biu + span // 2)) * span \
         + (biv + span // 2)
@@ -203,6 +207,13 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     # lattice; -1 = no task there -> visibility counted as dropped).
     b0 = boxes.min(axis=0)
     nb3 = boxes.max(axis=0) - b0 + 1
+    if int(np.prod(nb3)) > (1 << 24):
+        # One outlier baseline would otherwise inflate the dense
+        # lattice (and its HBM copy) to GB scale.
+        raise SdpInvalidArgumentError(
+            f"task-box bounding lattice {tuple(nb3)} too large for a "
+            "dense lookup — filter outlier uvw rows before "
+            "stream_tasks, or restrict the box set")
     lut = np.full(int(np.prod(nb3)), -1, np.int32)
     flat = ((boxes[:, 0] - b0[0]) * nb3[1]
             + (boxes[:, 1] - b0[1])) * nb3[2] + (boxes[:, 2] - b0[2])
@@ -302,8 +313,12 @@ class _StreamEngine:
                  * np.arange(plan.num_chan)) / C_0
         self._scale = jnp.asarray(scale.astype(np.float32))
 
-        self.step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3))
-        self.dstep = jax.jit(self._dstep_impl, donate_argnums=(0, 1, 2))
+        # No donation: StreamingGridder.image / counters() hand out
+        # the live accumulators, and a donated buffer would be
+        # invalidated under the caller on the next chunk; the image
+        # + three scalars cost one small copy per chunk.
+        self.step = jax.jit(self._step_impl)
+        self.dstep = jax.jit(self._dstep_impl)
         self.model_stack = jax.jit(self._model_stack_impl)
         self._sharded_cache: dict = {}
 
@@ -340,10 +355,15 @@ class _StreamEngine:
         w = (uvw[:, 2:3] * self._scale[None, :]).ravel()
         mask = jnp.repeat(row_mask, plan.num_chan)
 
-        biu = jnp.floor(u / d + 0.5).astype(jnp.int32)
-        biv = jnp.floor(v / d + 0.5).astype(jnp.int32)
-        biw = jnp.floor(w / np.float32(plan.w_stack_dist)
-                        + 0.5).astype(jnp.int32)
+        # Box quantisation via reciprocal multiplies — MUST stay
+        # bit-identical to stream_tasks' NumPy pass (see its
+        # docstring): f32 mul/add/floor are exactly rounded on every
+        # backend, f32 divide is not guaranteed to be.
+        inv_d = np.float32(1.0 / plan.eff_sg_dist)
+        inv_wd = np.float32(1.0 / plan.w_stack_dist)
+        biu = jnp.floor(u * inv_d + 0.5).astype(jnp.int32)
+        biv = jnp.floor(v * inv_d + 0.5).astype(jnp.int32)
+        biw = jnp.floor(w * inv_wd + 0.5).astype(jnp.int32)
         b0, nb3 = splan.consts["b0"], splan.consts["nb3"]
         i0, i1, i2 = biw - b0[0], biu - b0[1], biv - b0[2]
         inb = ((i0 >= 0) & (i0 < nb3[0]) & (i1 >= 0) & (i1 < nb3[1])
@@ -524,9 +544,16 @@ class _StreamEngine:
         """
         from jax.sharding import PartitionSpec as P
 
-        n = int(mesh.devices.size)
+        if axis_name not in mesh.shape:
+            raise SdpInvalidArgumentError(
+                f"mesh has no axis {axis_name!r} (axes: "
+                f"{tuple(mesh.shape)})")
+        # n = the ROW-shard count (rows shard over axis_name only; on
+        # a multi-axis mesh other axes see replicated inputs), and the
+        # cache key covers the mesh structure, not just the devices.
+        n = int(mesh.shape[axis_name])
         key = ("grid", tuple(d.id for d in mesh.devices.flat),
-               axis_name)
+               tuple(mesh.axis_names), axis_name)
         fn = self._sharded_cache.get(key)
         if fn is not None:
             return fn
@@ -534,7 +561,8 @@ class _StreamEngine:
         if splan.chunk_rows % n or splan.cap % (n * splan.block_v):
             raise SdpInvalidArgumentError(
                 f"chunk_rows ({splan.chunk_rows}) must divide by the "
-                f"mesh size ({n}) and cap ({splan.cap}) by n*block_v")
+                f"row-shard count ({n}) and cap ({splan.cap}) by "
+                "n*block_v")
         cap_s = splan.cap // n
         nblk_s = cap_s // splan.block_v
 
@@ -560,8 +588,7 @@ class _StreamEngine:
             in_specs=(P(), P(), P(), P(),
                       P(axis_name), P(axis_name), P(axis_name),
                       P(axis_name)),
-            out_specs=(P(), P(), P(), P()), check_vma=False),
-            donate_argnums=(0, 1, 2, 3))
+            out_specs=(P(), P(), P(), P()), check_vma=False))
         lru_insert(self._sharded_cache, key, fn)
         return fn
 
@@ -574,9 +601,13 @@ class _StreamEngine:
         only the counter/void psums)."""
         from jax.sharding import PartitionSpec as P
 
-        n = int(mesh.devices.size)
+        if axis_name not in mesh.shape:
+            raise SdpInvalidArgumentError(
+                f"mesh has no axis {axis_name!r} (axes: "
+                f"{tuple(mesh.shape)})")
+        n = int(mesh.shape[axis_name])
         key = ("degrid", tuple(d.id for d in mesh.devices.flat),
-               axis_name)
+               tuple(mesh.axis_names), axis_name)
         fn = self._sharded_cache.get(key)
         if fn is not None:
             return fn
@@ -584,7 +615,8 @@ class _StreamEngine:
         if splan.chunk_rows % n or splan.cap % (n * splan.block_v):
             raise SdpInvalidArgumentError(
                 f"chunk_rows ({splan.chunk_rows}) must divide by the "
-                f"mesh size ({n}) and cap ({splan.cap}) by n*block_v")
+                f"row-shard count ({n}) and cap ({splan.cap}) by "
+                "n*block_v")
         cap_s = splan.cap // n
         nblk_s = cap_s // splan.block_v
 
@@ -604,7 +636,7 @@ class _StreamEngine:
             in_specs=(P(), P(), P(),
                       P(axis_name), P(axis_name), P()),
             out_specs=(P(axis_name), P(), P(), P()),
-            check_vma=False), donate_argnums=(0, 1, 2))
+            check_vma=False))
         lru_insert(self._sharded_cache, key, fn)
         return fn
 
@@ -622,9 +654,7 @@ class _StreamEngine:
         plan = splan.wplan
         sgs = plan.subgrid_size
         plane_stack = _image_to_plane_stack(
-            self._kernel, image,
-            [int(np.trunc(iw * plan.w_tower_height))
-             for iw in splan.w_plane_ids])
+            self._kernel, image, self._plane_offsets())
         plane_pos = {iw: i for i, iw in enumerate(splan.w_plane_ids)}
         subgrids = jnp.stack([
             subgrid_cut_out_static(
@@ -806,7 +836,14 @@ class StreamingGridder:
                     f"{voided} chunk(s) exceeded the padded stream "
                     f"capacity ({self.splan.cap} slots) and were "
                     "voided; raise cap_factor or shrink chunks")
-            if dropped or processed != self._expected:
+            # Primary invariant: nothing dropped, nothing voided —
+            # together these imply processed == expected. The explicit
+            # processed cross-check (an internal-consistency guard)
+            # only applies while the int32 device counter cannot have
+            # wrapped; beyond 2^31 visibilities it is skipped, the
+            # dropped/voided checks still protect the stream.
+            if dropped or (self._expected < 2 ** 31
+                           and processed != self._expected):
                 raise SdpRuntimeError(
                     f"stream processed {processed} of "
                     f"{self._expected} visibilities ({dropped} "
@@ -892,7 +929,10 @@ class StreamingDegridder:
                 f"{voided} predict chunk(s) exceeded the padded "
                 f"stream capacity ({self.splan.cap} slots) and "
                 "returned zeros; raise cap_factor or shrink chunks")
-        if dropped or processed != self._expected:
+        # See StreamingGridder.finalize: the processed cross-check is
+        # skipped once the int32 device counter could have wrapped.
+        if dropped or (self._expected < 2 ** 31
+                       and processed != self._expected):
             raise SdpRuntimeError(
                 f"predicted {processed} of {self._expected} "
                 f"visibilities ({dropped} outside the task set / "
