@@ -32,7 +32,7 @@ distribution layer, see SURVEY.md §2.10):
 - :mod:`ska_sdp_func_tpu.kernels` — Pallas TPU kernels for the hot paths
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "clean",
