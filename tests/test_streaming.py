@@ -309,3 +309,52 @@ def test_streaming_sharded_predict_matches_single(scenario):
     sdm.check()
     scale = max(np.abs(v1).max(), 1e-9)
     np.testing.assert_allclose(vm, v1, atol=1e-5 * scale)
+
+
+@pytest.mark.slow
+def test_streaming_ingest_composition_flags_rfi(scenario):
+    """Production ingest chain: RFI flagging + weighting
+    (pipeline.ingest_to_solver) feeds StreamingGridder chunk by chunk
+    — the flagged sample's zeroed weight keeps the streamed image
+    equal to the clean-data image."""
+    from ska_sdp_func_tpu.pipeline.ingest import ingest_to_solver
+
+    s = scenario
+    num_rows, num_chan = s["vis"].shape
+    n_t = 8
+    vis4d = np.repeat(
+        np.asarray(s["vis"]).reshape(1, num_rows, num_chan, 1),
+        n_t, axis=0).astype(np.complex128)
+    vis4d_rfi = vis4d.copy()
+    vis4d_rfi[3, 7, :, 0] += 200.0 + 150.0j      # broadband RFI
+    w4d = np.ones(vis4d.shape)
+
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=num_rows,
+                     block_v=128, cap_slots=40000)
+
+    def run(v4d, wgt4d):
+        vis_flat, w_flat, _ = ingest_to_solver(
+            jnp.asarray(v4d), jnp.asarray(wgt4d))
+        sg = StreamingGridder(sp)
+        for t in range(n_t):     # one chunk per time slot
+            sl = slice(t * num_rows, (t + 1) * num_rows)
+            sg.accumulate(s["uvw"], vis_flat[sl], weights=w_flat[sl])
+        return np.asarray(sg.finalize())
+
+    img_rfi = run(vis4d_rfi, w4d)
+    # Reference: clean data with the SAME sample's weight zeroed by
+    # hand — flagging must be equivalent to removing the sample.
+    w4d_ref = w4d.copy()
+    w4d_ref[3, 7, :, 0] = 0.0
+    img_ref = run(vis4d, w4d_ref)
+    m = 32
+    scale = np.abs(img_ref[m:-m, m:-m]).max()
+    np.testing.assert_allclose(img_rfi[m:-m, m:-m],
+                               img_ref[m:-m, m:-m],
+                               atol=2e-4 * scale)
+    # Sanity: had the 200-unit RFI NOT been excluded, the image would
+    # differ by far more than the envelope above.
+    img_clean_full = run(vis4d, w4d)
+    rfi_effect = np.abs(img_clean_full[m:-m, m:-m]
+                        - img_ref[m:-m, m:-m]).max()
+    assert rfi_effect < 0.05 * scale   # one sample of 2400 removed
