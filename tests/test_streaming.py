@@ -358,3 +358,29 @@ def test_streaming_ingest_composition_flags_rfi(scenario):
     rfi_effect = np.abs(img_clean_full[m:-m, m:-m]
                         - img_ref[m:-m, m:-m]).max()
     assert rfi_effect < 0.05 * scale   # one sample of 2400 removed
+
+
+@pytest.mark.slow
+def test_streaming_sharded_multi_axis_mesh(scenario):
+    """On a 2-D mesh only the named axis shards rows; the per-shard
+    capacity is budgeted from mesh.shape[axis], not the device count
+    (a (4,2) mesh must behave exactly like a 4-device 1-D mesh)."""
+    import jax
+    from jax.sharding import Mesh
+
+    s = scenario
+    sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
+                     block_v=128, cap_slots=4 * 20480)
+    sg1 = StreamingGridder(sp)
+    sg1.accumulate(s["uvw"][:64], s["vis"][:64])
+    img1 = np.asarray(sg1.finalize())
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                 ("rows", "cols"))
+    sgm = StreamingGridder(sp, mesh=mesh2)
+    sgm.accumulate(s["uvw"][:64], s["vis"][:64])
+    imgm = np.asarray(sgm.finalize())
+    m = 32
+    scale = np.abs(img1[m:-m, m:-m]).max()
+    np.testing.assert_allclose(imgm[m:-m, m:-m], img1[m:-m, m:-m],
+                               atol=2e-4 * scale)
