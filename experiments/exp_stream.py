@@ -123,6 +123,22 @@ def main():
           f"{total_passes * n_chunks * nvis}), dropped {dropped}, "
           f"voided {voided}")
 
+    # H2D cost of one chunk's raw inputs (uvw f32 + vis re/im f32):
+    # the tunnel sustains ~30 MB/s so this dominates END-TO-END rate
+    # here; real deployments have GB/s hosts — report separately.
+    if not CHECK:
+        h2d_bytes = rows * 3 * 4 + 2 * rows * chans * 4
+        t0 = time.perf_counter()
+        a = jnp.asarray(chunks[0][0].astype(np.float32) * 0.99)
+        b = jnp.asarray(chunks[0][1].real.astype(np.float32) * 0.99)
+        c = jnp.asarray(chunks[0][1].imag.astype(np.float32) * 0.99)
+        _ = float(jnp.sum(a) + jnp.sum(b) + jnp.sum(c))
+        h2d_dt = time.perf_counter() - t0
+        print(f"H2D: {h2d_bytes / 1e6:.0f} MB/chunk in {h2d_dt:.2f} s "
+              f"({h2d_bytes / h2d_dt / 1e6:.0f} MB/s; end-to-end "
+              f"{nvis / (dt + h2d_dt) / 1e6:.1f} Mvis/s on this link)",
+              flush=True)
+
     # Host-planned packed path on chunk 0 for comparison.
     t0 = time.perf_counter()
     pplan = plan_packed(plan, chunks[0][0])
