@@ -280,7 +280,7 @@ def main():
     )
 
     sp = plan_stream(plan_d, stream_tasks(plan_d, uvw),
-                     chunk_rows=ROWS, cap_factor=1.4)
+                     chunk_rows=ROWS, block_v=512, cap_factor=1.4)
     se = StreamingGridder(sp)._engine
     uvw32 = jnp.asarray(uvw.astype(np.float32))
     mask_s = jnp.asarray(np.ones(ROWS, bool))

@@ -154,11 +154,16 @@ def _image_to_plane_stack(kernel, image, w_offsets):
     return fft_shifted(base[None] * screens)
 
 
-# Per-block fixed kernel cost expressed in visibility-equivalents
-# (measured ~130 ns/block vs ~4.3 ns/vis steady-state): block size
-# auto-selection minimises padded_total + this * num_blocks.
-_BLOCK_OVERHEAD_VIS = 30
-_BLOCK_CANDIDATES = (128, 256)
+# Per-block fixed kernel cost expressed in visibility-equivalents.
+# Measured on-chip 2026-08-18 (experiments/exp_block.py, dense 4.2M-vis
+# stream): the kernel is latency-bound per block — ~250-290 ns fixed
+# per block against ~1.7 ns marginal per slot, i.e. ~150
+# vis-equivalents — so larger blocks win until bucket-padding blows up
+# the slot count (f32 grid 213/277/323 Mvis/s at 128/256/512; bf16
+# 456 at 1024).  Auto-selection minimises
+# padded_total + _BLOCK_OVERHEAD_VIS * num_blocks.
+_BLOCK_OVERHEAD_VIS = 150
+_BLOCK_CANDIDATES = (128, 256, 512, 1024)
 
 
 def _auto_block_v(counts: np.ndarray) -> int:

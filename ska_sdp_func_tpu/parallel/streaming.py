@@ -167,6 +167,12 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     so any visibility mapping to the box fits the tower — towers are
     a little deeper than the data-derived ones of ``plan_packed``, in
     exchange for compile-time-constant layer geometry.
+
+    ``block_v`` trades per-block launch latency against bucket
+    padding; the kernel is latency-bound per block (~250-290 ns fixed,
+    experiments/exp_block.py 2026-08-18), so dense chunks (>=64
+    vis/occupied bucket) run fastest at 512; keep 128-256 for sparse
+    chunks where padding dominates.
     """
     if not packed_geometry_ok(wplan.subgrid_size, wplan.support,
                               wplan.w_support, wplan.subgrid_frac):
@@ -258,6 +264,17 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
 _ENGINE_CACHE: dict = {}
 
 
+def _host_ri(x: np.ndarray):
+    """Split a complex host array into contiguous (re, im) f32 halves."""
+    return (np.ascontiguousarray(x.real, np.float32),
+            np.ascontiguousarray(x.imag, np.float32))
+
+
+def _cplx(ri) -> jnp.ndarray:
+    """Assemble a complex64 value from a host (re, im) pair in-trace."""
+    return jax.lax.complex(jnp.asarray(ri[0]), jnp.asarray(ri[1]))
+
+
 def _stream_engine(splan: StreamPlan, fast: bool) -> "_StreamEngine":
     key = (splan, bool(fast))
     eng = _ENGINE_CACHE.get(key)
@@ -273,7 +290,6 @@ class _StreamEngine:
 
     def __init__(self, splan: StreamPlan, fast: bool = False):
         from ..grid_data.wtower import _tap_coeffs_cached
-        from ..utility.device import device_put
 
         self.splan = splan
         self.fast = bool(fast)
@@ -294,14 +310,19 @@ class _StreamEngine:
         e0 = np.asarray([t.first_w_plane + sw // 2 - sw
                          for t in splan.tasks])
         pref = w_pattern[None] ** e0[:, None, None]
-        self.ladder = device_put(ladder.astype(np.complex64))
-        self.pref = device_put(pref.astype(np.complex64))
+        # Held as host re/im f32 pairs and assembled with lax.complex
+        # inside the trace: a complex jax.Array captured by a jitted
+        # closure is lowered via a host round-trip of its value, and
+        # complex D2H is the tunnel op that poisons the process
+        # (ROADMAP item 12).  Float constants embed without transfers.
+        self.ladder = _host_ri(ladder)
         ladder_d = w_pattern[None] ** (-karange[:, None, None])
         e0_d = np.asarray([sw // 2 - t.first_w_plane
                            for t in splan.tasks])
         pref_d = w_pattern[None] ** e0_d[:, None, None]
-        self.ladder_degrid = device_put(ladder_d.astype(np.complex64))
-        self.pref_degrid = device_put(pref_d.astype(np.complex64))
+        self.pref = _host_ri(pref)
+        self.ladder_degrid = _host_ri(ladder_d)
+        self.pref_degrid = _host_ri(pref_d)
 
         c = splan.consts
         self._lut = jnp.asarray(c["lut"])
@@ -491,8 +512,8 @@ class _StreamEngine:
                                plan.w_support, splan.num_layers,
                                self.interpret)
         layers = ifft_shifted(layers)
-        subgrids = jnp.einsum("tkuv,kuv->tuv", layers, self.ladder) \
-            * self.pref
+        subgrids = jnp.einsum("tkuv,kuv->tuv", layers,
+                              _cplx(self.ladder)) * _cplx(self.pref)
         subgrids = fft_shifted(subgrids)
 
         image_size = plan.image_size
@@ -664,8 +685,8 @@ class _StreamEngine:
             for task in splan.tasks]).astype(jnp.complex64)
         subgrids = ifft_shifted_norm(subgrids)
         layers = fft_shifted(
-            (subgrids * self.pref_degrid)[:, None, :, :]
-            * self.ladder_degrid[None])
+            (subgrids * _cplx(self.pref_degrid))[:, None, :, :]
+            * _cplx(self.ladder_degrid)[None])
         st = jnp.stack([layers.real.astype(jnp.float32),
                         layers.imag.astype(jnp.float32)])
         st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
