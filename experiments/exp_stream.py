@@ -144,7 +144,10 @@ def main():
     pplan = plan_packed(plan, chunks[0][0])
     t_plan = time.perf_counter() - t0
     g = packed_gridder(pplan, fast=FAST)
-    vre, vim = g.sort(jnp.asarray(chunks[0][1]))
+    # device_put shim: a bare jnp.asarray of complex numpy is a
+    # complex H2D, which the tunnel rejects after any scalar readback.
+    from ska_sdp_func_tpu.utility.device import device_put
+    vre, vim = g.sort(device_put(chunks[0][1]))
     img = g.grid_sorted(vre, vim)
     float(jnp.sum(jnp.abs(img)))
     fb = jax.jit(lambda x, s: x * (jnp.float32(1.0)
