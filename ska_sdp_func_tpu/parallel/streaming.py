@@ -473,7 +473,21 @@ class _StreamEngine:
         processed = jnp.sum(ok & jnp.logical_not(overflow)).astype(
             jnp.int32)
         dropped = jnp.sum(mask & jnp.logical_not(ok)).astype(jnp.int32)
-        return (arrays, order, dest, block_bucket, visited, processed,
+        # Scatter-free inverse map for the degrid unsort: original
+        # entry i has sorted rank inv_order[i], and bucket b's sorted
+        # ranks [sstart[b], sstart[b]+counts[b]) occupy padded slots
+        # [pad_off[b], ...) contiguously, so its slot follows from
+        # rank arithmetic. Invalid entries (sentinel bucket nb) point
+        # at the guaranteed-zero extra slot `cap`. The grid step never
+        # uses `dest`; XLA DCEs the second argsort there.
+        inv_order = jnp.argsort(order)
+        bsafe = jnp.minimum(bucket, nb - 1)
+        dest = jnp.where(
+            bucket < nb,
+            jnp.clip(pad_off[bsafe] + inv_order - sstart[bsafe],
+                     0, cap),
+            cap).astype(jnp.int32)
+        return (arrays, perm, dest, block_bucket, visited, processed,
                 dropped, overflow)
 
     # -- jitted chunk step ---------------------------------------------
@@ -490,7 +504,7 @@ class _StreamEngine:
         """
         splan = self.splan
         plan = splan.wplan
-        (arrays, order, dest, block_bucket, visited, processed,
+        (arrays, perm, dest, block_bucket, visited, processed,
          dropped, overflow) = self._plan_chunk(uvw, row_mask, cap,
                                                num_blocks)
         if void is not None:
@@ -512,8 +526,9 @@ class _StreamEngine:
         wk_t = wk.T
 
         def sort_vis(x):
-            out = jnp.zeros((cap,), jnp.float32)
-            return out.at[dest].set(x.ravel()[order], mode="drop")
+            # Same gather permutation as _plan_chunk's place(): slot
+            # validity masks padding/dropped entries to zero.
+            return jnp.where(arrays["valid"], x.ravel()[perm], 0.0)
 
         vre_s, vim_s = sort_vis(vre), sort_vis(vim)
         scales = jnp.concatenate([wk_t * vre_s[None, :],
@@ -716,7 +731,7 @@ class _StreamEngine:
 
         splan = self.splan
         plan = splan.wplan
-        (arrays, order, dest, block_bucket, visited, processed,
+        (arrays, perm, dest, block_bucket, visited, processed,
          dropped, overflow) = self._plan_chunk(uvw, row_mask, cap,
                                                num_blocks)
         if void is not None:
@@ -749,16 +764,12 @@ class _StreamEngine:
             st, p_idx, octet, hv_idx, ubase, vband_t, wk.T,
             plan.w_support, block_v=splan.block_v, fast=self.fast,
             interpret=self.interpret)
-        # Back to (row, chan) order: gather through the device-computed
-        # destination map; dropped/padded entries point at the
-        # guaranteed-zero extra slot.
-        dest_by_orig = jnp.full((uvw.shape[0] * plan.num_chan,),
-                                cap, jnp.int32)
-        dest_by_orig = dest_by_orig.at[order].set(
-            jnp.minimum(dest, cap).astype(jnp.int32))
+        # Back to (row, chan) order: gather through the scatter-free
+        # entry->slot map from _plan_chunk; dropped entries point at
+        # the guaranteed-zero extra slot.
         padded = jnp.concatenate(
             [out_sorted, jnp.zeros((1,), out_sorted.dtype)])
-        vis = padded[dest_by_orig].reshape(uvw.shape[0], plan.num_chan)
+        vis = padded[dest].reshape(uvw.shape[0], plan.num_chan)
         vis = jnp.where(overflow, jnp.zeros_like(vis), vis)
         return (vis, processed,
                 jnp.where(overflow, 0, dropped),
