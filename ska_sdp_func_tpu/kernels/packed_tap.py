@@ -336,11 +336,12 @@ def _degrid_fused_kernel(p_ref, g_ref, hv_ref, ubase_ref, vbt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w_support", "block_v", "fast", "interpret"))
+    "w_support", "block_v", "fast", "interpret", "raw"))
 def degrid_fused_pallas(planes: Array, p_idx, g_idx, hv_idx, ubase,
                         vband_t, wk_t, w_support: int,
                         block_v: int = 128, fast: bool = False,
-                        interpret: bool = False) -> Array:
+                        interpret: bool = False,
+                        raw: bool = False) -> Array:
     """Fused degridding: padded plane stack -> sorted visibilities.
 
     planes: [2, P, rows_pad, lanes_pad] f32 (re/im planes of the FFT'd
@@ -401,4 +402,8 @@ def degrid_fused_pallas(planes: Array, p_idx, g_idx, hv_idx, ubase,
         interpret=interpret,
     )(p_idx, g_idx, hv_idx, ubase, vband_t, wk_t,
       *([planes] * (2 * n_vq * w_support)))
+    if raw:
+        # [8, V] f32 (row 0 = re, row 1 = im, rest zero) for callers
+        # that unsort via an 8-lane row-gather (parallel/streaming.py).
+        return out
     return jax.lax.complex(out[0], out[1])

@@ -224,6 +224,20 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     flat = ((boxes[:, 0] - b0[0]) * nb3[1]
             + (boxes[:, 1] - b0[1])) * nb3[2] + (boxes[:, 2] - b0[2])
     lut[flat] = np.arange(num_tasks, dtype=np.int32)
+    # Row-fused lookup [L, 8]: (task, first_t, num_planes, off_w, pad).
+    # One 8-lane ROW-gather serves all four per-entry task attributes
+    # — TPU XLA gathers cost ~12 ns per INDEX regardless of row width
+    # (experiments/exp_gather.py), so four scalar gathers at chunk
+    # scale cost ~200 ms while the fused row costs ~30. Gated on the
+    # lattice size (the x8 dense copy; beyond it the engine falls back
+    # to scalar lookups).
+    lut2 = None
+    if int(np.prod(nb3)) <= (1 << 21):
+        lut2 = np.zeros((lut.shape[0], 8), np.int32)
+        lut2[:, 0] = lut
+        lut2[flat, 1] = first_t.astype(np.int32)
+        lut2[flat, 2] = num_planes_t.astype(np.int32)
+        lut2[flat, 3] = off_w_t.astype(np.int32)
 
     num_vis = chunk_rows * wplan.num_chan
     # Bucket padding costs up to block_v-1 slots per OCCUPIED bucket:
@@ -232,9 +246,10 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     cap = cap_slots if cap_slots is not None else \
         int(math.ceil(num_vis * cap_factor / block_v)) * block_v
     cap = -(-int(cap) // block_v) * block_v
-    # The device plan's padded-offset cumsum runs in int32; its worst
-    # case is every bucket padded (num_vis + num_buckets*(block_v-1)).
-    if cap >= 2 ** 31 or \
+    # The device plan's padded-offset cumsum and the merge-sort
+    # placement keys (up to 3*cap + num_vis) run in int32; the worst
+    # padding case is every bucket padded.
+    if 3 * cap + num_vis >= 2 ** 31 or \
             num_vis + num_buckets * (block_v - 1) >= 2 ** 31:
         raise SdpInvalidArgumentError(
             "stream capacity / worst-case bucket padding too large "
@@ -246,7 +261,8 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
                    int(boxes[t, 0]), int(first_t[t]))
         for t in range(num_tasks))
     consts = dict(
-        lut=lut, b0=b0.astype(np.int32), nb3=nb3.astype(np.int32),
+        lut=lut, lut2=lut2, b0=b0.astype(np.int32),
+        nb3=nb3.astype(np.int32),
         first_t=first_t.astype(np.int32),
         off_w=off_w_t.astype(np.float32),
         num_planes_t=num_planes_t.astype(np.int32))
@@ -326,6 +342,8 @@ class _StreamEngine:
 
         c = splan.consts
         self._lut = jnp.asarray(c["lut"])
+        self._lut2 = (jnp.asarray(c["lut2"])
+                      if c.get("lut2") is not None else None)
         self._first_t = jnp.asarray(c["first_t"])
         self._off_w = jnp.asarray(c["off_w"])
         self._num_planes_t = jnp.asarray(c["num_planes_t"])
@@ -345,11 +363,15 @@ class _StreamEngine:
 
     # -- device planning (all jnp, traced) -----------------------------
 
-    def _plan_chunk(self, uvw, row_mask, cap: int = None,
-                    num_blocks: int = None):
+    def _plan_chunk(self, uvw, row_mask, vre=None, vim=None,
+                    cap: int = None, num_blocks: int = None):
         """Per-chunk device plan: the quantised geometry of
         plan_packed/packed_entry in f32 (see module precision note).
 
+        ``vre``/``vim``: optional visibility planes [rows, chan] — the
+        grid step passes them so they ride the placement sorts as
+        payloads (a separate permutation gather costs ~12 ns/element
+        on TPU; a sort payload is nearly free, exp_gather.py).
         ``cap``/``num_blocks`` default to the plan's stream capacity;
         the mesh-sharded step passes the per-shard split.
         """
@@ -391,7 +413,21 @@ class _StreamEngine:
                & (i2 >= 0) & (i2 < nb3[2]))
         li = (i0 * nb3[1] + i1) * nb3[2] + i2
         li = jnp.clip(li, 0, self._lut.shape[0] - 1)
-        task = jnp.where(inb, self._lut[li], -1)
+        if self._lut2 is not None:
+            # One 8-lane row-gather for all four task attributes (a
+            # scalar gather costs ~12 ns per INDEX on TPU, so four
+            # separate lookups at chunk scale are ~4x the price).
+            row = self._lut2[li]
+            task = jnp.where(inb, row[:, 0], -1)
+            first_e = row[:, 1]
+            nplanes_e = row[:, 2]
+            off_w_e = row[:, 3].astype(jnp.float32)
+        else:
+            task = jnp.where(inb, self._lut[li], -1)
+            tsafe0 = jnp.maximum(task, 0)
+            first_e = self._first_t[tsafe0]
+            nplanes_e = self._num_planes_t[tsafe0]
+            off_w_e = self._off_w[tsafe0]
         tsafe = jnp.maximum(task, 0)
 
         u_rel = u - biu.astype(jnp.float32) * d
@@ -403,36 +439,53 @@ class _StreamEngine:
         u_frac = jnp.mod(iu0_ov, ov)
         v_frac = jnp.mod(iv0_ov, ov)
 
-        w_rel = w - self._off_w[tsafe] * w_step
+        w_rel = w - off_w_e * w_step
         j = (jnp.floor(w_rel / w_step).astype(jnp.int32) + 1
-             - self._first_t[tsafe])
-        w_rel2 = w_rel - (self._first_t[tsafe] + j - 1).astype(
+             - first_e)
+        w_rel2 = w_rel - (first_e + j - 1).astype(
             jnp.float32) * w_step
         w_row = jnp.mod(rha(w_rel2 * w_ov_scale),
                         plan.w_oversampling)
 
-        ok = (mask & (task >= 0) & (j >= 0)
-              & (j < self._num_planes_t[tsafe]))
+        ok = (mask & (task >= 0) & (j >= 0) & (j < nplanes_e))
         bucket = jnp.where(
             ok, (tsafe * splan.num_slabs + j) * splan.num_octets
             + (iu0 >> 3), nb)
 
-        # Scatter-free placement. XLA scatters on TPU serialise
-        # (~60 ns/element measured on the degrid unsort); every array
-        # below is instead GATHERED through one slot->source
-        # permutation, exploiting two invariants of the padded layout:
-        # padded bucket offsets are block_v-aligned (so a slot's bucket
-        # is its block's bucket) and sorted sources of bucket b occupy
-        # ranks [0, counts[b]) contiguously.
-        order = jnp.argsort(bucket, stable=True)
-        b_s = bucket[order]
-        # counts via searchsorted on the sorted keys (no bincount
-        # scatter-add): edge e = first sorted position with key >= e.
+        # Sort-carried placement. TPU XLA gathers and scatters cost
+        # ~12-60 ns per ELEMENT, while a variadic lax.sort moves any
+        # number of payload operands through the vectorised sorting
+        # network for roughly the cost of the bare key sort
+        # (experiments/exp_gather.py: 8-payload sort 12.8 ms vs 553 ms
+        # for 8 permutation gathers at the same scale). The plan
+        # therefore never gathers at chunk scale:
+        #  1. ONE stable key sort carries every per-entry quantity
+        #     (including the visibilities) into bucket order;
+        #  2. each entry's padded destination slot follows from
+        #     segmented SCANS over the sorted keys (cummax/cumsum —
+        #     no table lookups at entry scale);
+        #  3. the padded stream is materialised by a second,
+        #     unstable merge sort of [real entries keyed by their
+        #     destination slot] + [one filler per slot, real slots
+        #     keyed out of range] — the first `cap` outputs are
+        #     exactly the placed stream.
+        N = bucket.shape[0]
+        oidx = jnp.arange(N, dtype=jnp.int32)
+        ops = [bucket, iu0, iv0, u_frac, v_frac, w_row, oidx]
+        nvis_ops = len(ops)
+        if vre is not None:
+            ops += [vre.ravel(), vim.ravel()]
+        sorted_ops = jax.lax.sort(tuple(ops), dimension=0,
+                                  is_stable=True, num_keys=1)
+        b_s = sorted_ops[0]
+        oidx_s = sorted_ops[6]
+
+        # Bucket tables from the sorted keys (edge e = first sorted
+        # position with key >= e; no bincount scatter-add).
         edges = jnp.searchsorted(
             b_s, jnp.arange(nb + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
         counts = edges[1:] - edges[:-1]
-        sstart = edges[:-1]
         padded = -(-counts // splan.block_v) * splan.block_v
         pad_off = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
@@ -440,32 +493,69 @@ class _StreamEngine:
         total = pad_off[-1]
         overflow = total > cap
 
+        # Block side: tables are only ever indexed at the [num_blocks]
+        # block->bucket map (small), then broadcast per slot.
         slots = jnp.arange(num_blocks,
                            dtype=jnp.int32) * splan.block_v
         block_bucket = jnp.clip(
             jnp.searchsorted(pad_off[1:], slots, side="right"),
             0, nb - 1).astype(jnp.int32)
-
-        beta = jnp.broadcast_to(
-            block_bucket[:, None],
-            (num_blocks, splan.block_v)).ravel()         # [cap]
-        r = (jnp.arange(cap, dtype=jnp.int32)
-             - pad_off[beta])                            # slot rank
-        slot_ok = ((r >= 0) & (r < counts[beta])
+        po_b = jnp.repeat(pad_off[block_bucket], splan.block_v)
+        cnt_b = jnp.repeat(counts[block_bucket], splan.block_v)
+        slot_iota = jnp.arange(cap, dtype=jnp.int32)
+        rank = slot_iota - po_b
+        slot_ok = ((rank >= 0) & (rank < cnt_b)
                    & jnp.logical_not(overflow))
-        perm = order[jnp.clip(sstart[beta] + r, 0,
-                              bucket.shape[0] - 1)]      # [cap]
 
-        def place(x):
-            return jnp.where(slot_ok, x.ravel()[perm], 0)
+        # Entry side: destination slot via segmented scans. For sorted
+        # entry k in bucket b: dest = pad_off[b] + (k - sstart[b])
+        # = k + gap, where gap accumulates (padded - count) over the
+        # CLOSED segments before k — pure cummax/cumsum arithmetic,
+        # no entry-scale table gather.
+        k_iota = jnp.arange(N, dtype=jnp.int32)
+        start = jnp.concatenate(
+            [jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+        ss = jax.lax.cummax(jnp.where(start, k_iota, -1))
+        ss_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   ss[:-1]])
+        c_prev = k_iota - ss_prev
+        pad_prev = -(-c_prev // splan.block_v) * splan.block_v
+        delta = jnp.where(start & (k_iota > 0), pad_prev - c_prev, 0)
+        dest = k_iota + jnp.cumsum(delta).astype(jnp.int32)
+
+        # Placement merge sort: real entries keyed by dest (invalid
+        # ones — sentinel bucket nb — keyed past cap), one filler per
+        # slot (padding slots keyed by their slot id, real slots keyed
+        # further out). Without overflow the keys in [0, cap) are a
+        # permutation: valid dests are exactly the non-padding slots.
+        key_real = jnp.where(b_s < nb, jnp.minimum(dest, cap),
+                             cap + k_iota)
+        key_fill = jnp.where(slot_ok, 2 * cap + N + slot_iota,
+                             slot_iota)
+
+        def placed(x_s, fill=0):
+            f = jnp.full((cap,), fill, x_s.dtype)
+            return jnp.concatenate([x_s, f])
+
+        place_ops = [jnp.concatenate([key_real, key_fill])] + [
+            placed(sorted_ops[i], N if i == 6 else 0)
+            for i in range(1, len(ops))]
+        out = jax.lax.sort(tuple(place_ops), dimension=0,
+                           is_stable=False, num_keys=1)
+        iu0_p, iv0_p, uf_p, vf_p, wr_p = (o[:cap] for o in out[1:6])
 
         arrays = dict(
-            u_off=place(iu0 & 7), iv0=place(iv0),
-            u_frac=place(u_frac), v_frac=place(v_frac),
-            w_row=place(w_row),
-            # bucket < nb implies ok (invalid entries key to the
-            # sentinel bucket), so slot validity IS entry validity.
+            u_off=jnp.where(slot_ok, iu0_p & 7, 0),
+            iv0=jnp.where(slot_ok, iv0_p, 0),
+            u_frac=jnp.where(slot_ok, uf_p, 0),
+            v_frac=jnp.where(slot_ok, vf_p, 0),
+            w_row=jnp.where(slot_ok, wr_p, 0),
             valid=slot_ok)
+        if vre is not None:
+            arrays["vre"] = jnp.where(slot_ok, out[nvis_ops][:cap],
+                                      0.0)
+            arrays["vim"] = jnp.where(slot_ok, out[nvis_ops + 1][:cap],
+                                      0.0)
         # On overflow the kernel's block range cannot cover every
         # occupied bucket, leaving marked-visited windows unwritten
         # (garbage/NaN) — void the chunk at the fold already.
@@ -473,21 +563,16 @@ class _StreamEngine:
         processed = jnp.sum(ok & jnp.logical_not(overflow)).astype(
             jnp.int32)
         dropped = jnp.sum(mask & jnp.logical_not(ok)).astype(jnp.int32)
-        # Scatter-free inverse map for the degrid unsort: original
-        # entry i has sorted rank inv_order[i], and bucket b's sorted
-        # ranks [sstart[b], sstart[b]+counts[b]) occupy padded slots
-        # [pad_off[b], ...) contiguously, so its slot follows from
-        # rank arithmetic. Invalid entries (sentinel bucket nb) point
-        # at the guaranteed-zero extra slot `cap`. The grid step never
-        # uses `dest`; XLA DCEs the second argsort there.
-        inv_order = jnp.argsort(order)
-        bsafe = jnp.minimum(bucket, nb - 1)
-        dest = jnp.where(
-            bucket < nb,
-            jnp.clip(pad_off[bsafe] + inv_order - sstart[bsafe],
-                     0, cap),
-            cap).astype(jnp.int32)
-        return (arrays, perm, dest, block_bucket, visited, processed,
+        # Degrid inverse (entry -> slot in ORIGINAL order): unsort the
+        # dest values by the carried original index — one more cheap
+        # sort; the grid step never uses it (XLA DCEs it). Invalid
+        # entries point at the guaranteed-zero extra slot `cap`.
+        dest_sentinel = jnp.where(b_s < nb, jnp.minimum(dest, cap),
+                                  cap)
+        dest_by_orig = jax.lax.sort(
+            (oidx_s, dest_sentinel), dimension=0, is_stable=False,
+            num_keys=1)[1]
+        return (arrays, dest_by_orig, block_bucket, visited, processed,
                 dropped, overflow)
 
     # -- jitted chunk step ---------------------------------------------
@@ -504,9 +589,9 @@ class _StreamEngine:
         """
         splan = self.splan
         plan = splan.wplan
-        (arrays, perm, dest, block_bucket, visited, processed,
-         dropped, overflow) = self._plan_chunk(uvw, row_mask, cap,
-                                               num_blocks)
+        (arrays, _dest, block_bucket, visited, processed,
+         dropped, overflow) = self._plan_chunk(uvw, row_mask, vre, vim,
+                                               cap, num_blocks)
         if void is not None:
             overflow = void(overflow)
             visited = visited & jnp.logical_not(overflow)
@@ -525,12 +610,9 @@ class _StreamEngine:
             vband = vband.astype(jnp.bfloat16)
         wk_t = wk.T
 
-        def sort_vis(x):
-            # Same gather permutation as _plan_chunk's place(): slot
-            # validity masks padding/dropped entries to zero.
-            return jnp.where(arrays["valid"], x.ravel()[perm], 0.0)
-
-        vre_s, vim_s = sort_vis(vre), sort_vis(vim)
+        # Visibilities arrive pre-placed (sort payloads in
+        # _plan_chunk) — no permutation gather.
+        vre_s, vim_s = arrays["vre"], arrays["vim"]
         scales = jnp.concatenate([wk_t * vre_s[None, :],
                                   wk_t * vim_s[None, :]], axis=0)
         wins = grid_packed_pallas(
@@ -731,9 +813,9 @@ class _StreamEngine:
 
         splan = self.splan
         plan = splan.wplan
-        (arrays, perm, dest, block_bucket, visited, processed,
-         dropped, overflow) = self._plan_chunk(uvw, row_mask, cap,
-                                               num_blocks)
+        (arrays, dest, block_bucket, visited, processed,
+         dropped, overflow) = self._plan_chunk(uvw, row_mask, None,
+                                               None, cap, num_blocks)
         if void is not None:
             overflow = void(overflow)
             processed = jnp.where(overflow, 0, processed)
@@ -760,16 +842,21 @@ class _StreamEngine:
         p_idx = task_b * splan.num_layers + slab
         hv_idx = jnp.zeros_like(bb)
 
-        out_sorted = degrid_fused_pallas(
+        out_raw = degrid_fused_pallas(
             st, p_idx, octet, hv_idx, ubase, vband_t, wk.T,
             plan.w_support, block_v=splan.block_v, fast=self.fast,
-            interpret=self.interpret)
-        # Back to (row, chan) order: gather through the scatter-free
-        # entry->slot map from _plan_chunk; dropped entries point at
-        # the guaranteed-zero extra slot.
+            interpret=self.interpret, raw=True)
+        # Back to (row, chan) order through the sort-derived
+        # entry->slot map: ONE 8-lane row-gather (rows are re/im plus
+        # zero lanes; a scalar gather per component costs ~12 ns/elem,
+        # the row form ~a third of that, exp_gather.py). Dropped
+        # entries point at the guaranteed-zero extra row.
         padded = jnp.concatenate(
-            [out_sorted, jnp.zeros((1,), out_sorted.dtype)])
-        vis = padded[dest].reshape(uvw.shape[0], plan.num_chan)
+            [out_raw.T, jnp.zeros((1, out_raw.shape[0]),
+                                  out_raw.dtype)])
+        rows = padded[dest]
+        vis = jax.lax.complex(rows[:, 0], rows[:, 1]).reshape(
+            uvw.shape[0], plan.num_chan)
         vis = jnp.where(overflow, jnp.zeros_like(vis), vis)
         return (vis, processed,
                 jnp.where(overflow, 0, dropped),
