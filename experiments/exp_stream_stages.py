@@ -87,3 +87,59 @@ timeit("plan", plan_fn, lambda o: o[:4096])
 step_fn = jax.jit(lambda u: eng._planes_core(
     u, mask, vre, vim, sp.cap, sp.num_blocks)[0])
 timeit("step", step_fn, lambda o: jnp.abs(o[0, :64, :64]))
+
+
+# -- finer prefixes through the step pipeline (round 3) ----------------
+
+def _prefix(upto):
+    """Build a jitted prefix of _planes_core up to a named stage."""
+    splan = eng.splan
+    plan = splan.wplan
+
+    def fn(u):
+        from ska_sdp_func_tpu.kernels.packed_tap import (
+            grid_packed_pallas,
+            stream_prep_grid_pallas,
+        )
+        from ska_sdp_func_tpu.parallel.packed import _fold_windows
+        from ska_sdp_func_tpu.parallel.streaming import (
+            _cplx,
+            fft_shifted,
+            ifft_shifted,
+        )
+        import jax.numpy as jnp
+
+        (arrays, _dest, block_bucket, visited, processed, dropped,
+         overflow) = eng._plan_chunk(u, mask, vre, vim)
+        ubase, vband, scales = stream_prep_grid_pallas(
+            arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
+            arrays["w_row"], arrays["vre"], arrays["vim"],
+            arrays["iv0"], eng._uv_c, eng._w_c,
+            plan.oversampling, plan.w_oversampling, plan.support,
+            plan.w_support, plan.subgrid_size, splan.block_v,
+            fast=eng.fast, interpret=eng.interpret)
+        if upto == "prep":
+            return scales[:, :4096]
+        wins = grid_packed_pallas(
+            block_bucket, ubase, vband, scales, splan.num_buckets,
+            plan.subgrid_size, plan.w_support, block_v=splan.block_v,
+            fast=eng.fast, interpret=eng.interpret)
+        if upto == "kern":
+            return wins[0, :8, 0, :]
+        layers = _fold_windows(wins, visited, len(splan.tasks),
+                               splan.num_slabs, splan.num_octets,
+                               plan.w_support, splan.num_layers,
+                               eng.interpret)
+        if upto == "fold":
+            return jnp.abs(layers[0, 0, :64, :64])
+        layers = ifft_shifted(layers)
+        subgrids = jnp.einsum("tkuv,kuv->tuv", layers,
+                              _cplx(eng.ladder)) * _cplx(eng.pref)
+        subgrids = fft_shifted(subgrids)
+        return jnp.abs(subgrids[0, :64, :64])
+
+    return jax.jit(fn)
+
+
+for name in ("prep", "kern", "fold", "drain"):
+    timeit(name, _prefix(name), lambda o: o)

@@ -47,6 +47,8 @@ tiling idea, sdp_tiled_functions.cu, fused into the kernel schedule).
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -56,6 +58,7 @@ Array = jax.Array
 
 WIN_ROWS = 16             # 8-aligned octet base + support (<= 8)
 _VMEM_LIMIT = 100 * 1024 * 1024
+PREP_G = 1024             # stream-prep granule (native 1-D lane tile)
 
 
 def _precision(fast: bool):
@@ -205,6 +208,231 @@ def grid_packed_pallas(bucket_ids, ubase, vband, scales,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(bucket_ids, ubase, vband, scales)
+
+
+def _clenshaw_rows(x, c):
+    """Clenshaw over support-major rows: x [1, B] or [B] -> taps
+    [S, B] (c: [degree+1, S] in VMEM; supports land on sublanes)."""
+    b1 = jnp.zeros((c.shape[1],) + x.shape[-1:], jnp.float32)
+    b2 = jnp.zeros_like(b1)
+    for k in range(c.shape[0] - 1, 0, -1):
+        b1, b2 = c[k][:, None] + 2.0 * x * b1 - b2, b1
+    return c[0][:, None] + x * b1 - b2
+
+
+def _clenshaw_cols(x, c):
+    """Clenshaw over support-minor columns: x [B, 1] -> taps [B, S]."""
+    b1 = jnp.zeros(x.shape[:-1] + (c.shape[1],), jnp.float32)
+    b2 = jnp.zeros_like(b1)
+    for k in range(c.shape[0] - 1, 0, -1):
+        b1, b2 = c[k][None, :] + 2.0 * x * b1 - b2, b1
+    return c[0][None, :] + x * b1 - b2
+
+
+def _stream_prep_grid_kernel(c_uv_ref, c_w_ref, u_off_ref, u_frac_ref,
+                             w_row_ref, vre_ref, vim_ref, iv0c_ref,
+                             vfc_ref, ubase_ref, vband_ref, scales_ref,
+                             *, inv2_ov, inv2_wov, support: int,
+                             w_support: int, lanes: int, fast: bool):
+    bv = u_off_ref.shape[0]
+    c_uv, c_w = c_uv_ref[:], c_w_ref[:]
+    xu = inv2_ov * u_frac_ref[:].astype(jnp.float32) - 1.0   # [bv]
+    uk = _clenshaw_rows(xu, c_uv)                            # [S, bv]
+    xw = inv2_wov * w_row_ref[:].astype(jnp.float32) - 1.0
+    wk = _clenshaw_rows(xw, c_w)                             # [Sw, bv]
+
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, bv), 0)
+    uo = u_off_ref[:]
+    ub = jnp.zeros((WIN_ROWS, bv), jnp.float32)
+    for s in range(support):
+        ub = jnp.where(row16 == uo + s, uk[s], ub)
+    ubase_ref[:] = ub
+
+    scales_ref[:] = jnp.concatenate(
+        [wk * vre_ref[:], wk * vim_ref[:]], axis=0)
+
+    xv = inv2_ov * vfc_ref[:].astype(jnp.float32) - 1.0      # [bv, 1]
+    vk = _clenshaw_cols(xv, c_uv)                            # [bv, S]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bv, lanes), 1)
+    iv = iv0c_ref[:]                                         # [bv, 1]
+    vb = jnp.zeros((bv, lanes), jnp.float32)
+    for s in range(support):
+        vb = jnp.where(col == iv + s, vk[:, s:s + 1], vb)
+    vband_ref[:] = vb.astype(jnp.bfloat16) if fast else vb
+
+
+def stream_prep_grid_pallas(u_off, u_frac, v_frac, w_row, vre_s, vim_s,
+                            iv0, uv_coeffs, w_coeffs,
+                            oversampling: int, w_oversampling: int,
+                            support: int, w_support: int, lanes: int,
+                            block_v: int, fast: bool = False,
+                            interpret: bool = False):
+    """Fused per-chunk grid prep: placed plan -> (ubase, vband, scales)
+    in ONE pass over the stream.
+
+    The XLA formulation (Chebyshev taps + 8-way compare-select band
+    build + scale concat) runs each stage as its own HBM pass over the
+    GB-scale band arrays (~70 ms at 5.9M slots on-chip); here each
+    block builds everything in VMEM and the cost is the output
+    write bandwidth. Padding/invalid slots carry zero visibilities, so
+    their (garbage-tap) contributions vanish in the kernel's
+    ``ubase * scales`` product.
+
+    u_off/u_frac/w_row/iv0: [cap] int32 (placed); vre_s/vim_s: [cap]
+    f32 (placed, zero on invalid slots). Returns ubase [16, cap] f32,
+    vband [cap, lanes] (bf16 in fast mode), scales [2*w_support, cap].
+    """
+    cap = u_off.shape[0]
+    num_p = 2 * w_support
+    # The prep granule is independent of the gridding block size:
+    # 1-D operands must block in multiples of the native T(1024) lane
+    # tile, and a bigger granule amortises the grid-step overhead.
+    # plan_stream rounds cap to a PREP_G multiple.
+    g = PREP_G
+    if cap % g:
+        raise ValueError(
+            f"stream capacity {cap} not a multiple of {g}")
+    num_g = cap // g
+    c_uv = np.asarray(uv_coeffs, np.float32)
+    c_w = np.asarray(w_coeffs, np.float32)
+    # iv0/v_frac ride as column operands (sublane-major) for the band
+    # build; u-side quantities stay lane-major.
+    iv0c = iv0.reshape(cap, 1)
+    vfc = v_frac.reshape(cap, 1)
+
+    cspec_uv = pl.BlockSpec(c_uv.shape, lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    cspec_w = pl.BlockSpec(c_w.shape, lambda b: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _stream_prep_grid_kernel,
+            inv2_ov=np.float32(2.0 / oversampling),
+            inv2_wov=np.float32(2.0 / w_oversampling),
+            support=support, w_support=w_support, lanes=lanes,
+            fast=fast),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(num_g,),
+            in_specs=[cspec_uv, cspec_w] + [
+                pl.BlockSpec((g,), lambda b: (b,),
+                             memory_space=pltpu.VMEM)
+                for _ in range(5)          # u_off/u_frac/w_row/vre/vim
+            ] + [
+                pl.BlockSpec((g, 1), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),   # iv0 col
+                pl.BlockSpec((g, 1), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),   # v_frac col
+            ],
+            out_specs=[
+                pl.BlockSpec((WIN_ROWS, g), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, lanes), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_p, g), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((WIN_ROWS, cap), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (cap, lanes),
+                jnp.bfloat16 if fast else jnp.float32),
+            jax.ShapeDtypeStruct((num_p, cap), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c_uv, c_w, u_off, u_frac, w_row, vre_s, vim_s, iv0c, vfc)
+
+
+def _stream_prep_degrid_kernel(c_uv_ref, c_w_ref, u_off_ref,
+                               u_frac_ref, v_frac_ref, w_row_ref,
+                               valid_ref, iv0_ref, ubase_ref, vbt_ref,
+                               wkt_ref, *, inv2_ov, inv2_wov,
+                               support: int, w_support: int,
+                               lanes: int, fast: bool):
+    bv = u_off_ref.shape[0]
+    c_uv, c_w = c_uv_ref[:], c_w_ref[:]
+    xu = inv2_ov * u_frac_ref[:].astype(jnp.float32) - 1.0
+    uk = _clenshaw_rows(xu, c_uv)
+    xw = inv2_wov * w_row_ref[:].astype(jnp.float32) - 1.0
+    wk = _clenshaw_rows(xw, c_w)
+    wkt_ref[:] = wk * valid_ref[:]
+
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, bv), 0)
+    uo = u_off_ref[:]
+    ub = jnp.zeros((WIN_ROWS, bv), jnp.float32)
+    for s in range(support):
+        ub = jnp.where(row16 == uo + s, uk[s], ub)
+    ubase_ref[:] = ub
+
+    # vband_t is lane-major throughout (lanes on sublanes, vis on
+    # lanes) — no column operands needed.
+    xv = inv2_ov * v_frac_ref[:].astype(jnp.float32) - 1.0
+    vk = _clenshaw_rows(xv, c_uv)                      # [S, bv]
+    rowL = jax.lax.broadcasted_iota(jnp.int32, (lanes, bv), 0)
+    iv = iv0_ref[:]
+    vbt = jnp.zeros((lanes, bv), jnp.float32)
+    for s in range(support):
+        vbt = jnp.where(rowL == iv + s, vk[s], vbt)
+    vbt_ref[:] = vbt.astype(jnp.bfloat16) if fast else vbt
+
+
+def stream_prep_degrid_pallas(u_off, u_frac, v_frac, w_row, valid_f,
+                              iv0, uv_coeffs, w_coeffs,
+                              oversampling: int, w_oversampling: int,
+                              support: int, w_support: int, lanes: int,
+                              block_v: int, fast: bool = False,
+                              interpret: bool = False):
+    """Degrid twin of :func:`stream_prep_grid_pallas`: placed plan ->
+    (ubase [16, cap], vband_t [lanes, cap], wk_t [Sw, cap]); the
+    w-taps are zeroed on invalid slots via ``valid_f`` (no
+    visibilities to zero-mask on this direction)."""
+    cap = u_off.shape[0]
+    g = PREP_G
+    if cap % g:
+        raise ValueError(
+            f"stream capacity {cap} not a multiple of {g}")
+    num_g = cap // g
+    c_uv = np.asarray(uv_coeffs, np.float32)
+    c_w = np.asarray(w_coeffs, np.float32)
+    vec = pl.BlockSpec((g,), lambda b: (b,),
+                       memory_space=pltpu.VMEM)
+    cspec_uv = pl.BlockSpec(c_uv.shape, lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    cspec_w = pl.BlockSpec(c_w.shape, lambda b: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _stream_prep_degrid_kernel,
+            inv2_ov=np.float32(2.0 / oversampling),
+            inv2_wov=np.float32(2.0 / w_oversampling),
+            support=support, w_support=w_support, lanes=lanes,
+            fast=fast),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(num_g,),
+            in_specs=[cspec_uv, cspec_w] + [vec] * 6,
+            out_specs=[
+                pl.BlockSpec((WIN_ROWS, g), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lanes, g), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w_support, g), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((WIN_ROWS, cap), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (lanes, cap), jnp.bfloat16 if fast else jnp.float32),
+            jax.ShapeDtypeStruct((w_support, cap), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c_uv, c_w, u_off, u_frac, v_frac, w_row, valid_f, iv0)
 
 
 def _fold_groups_kernel(visited_ref, wins_ref, out_ref, *,

@@ -64,8 +64,7 @@ import jax.numpy as jnp
 
 from ..fourier_transforms.fft import fft_shifted, ifft_shifted
 from ..grid_data.gridder_utils import subgrid_add_static
-from ..grid_data.kernels import eval_kernel_taps
-from ..kernels.packed_tap import build_bands, grid_packed_pallas
+from ..kernels.packed_tap import grid_packed_pallas
 from ..utility.caches import lru_insert
 from ..utility.constants import C_0
 from ..utility.errors import SdpInvalidArgumentError, SdpRuntimeError
@@ -245,7 +244,13 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     # 1.03-1.3x); sparse/small chunks need cap_slots explicitly.
     cap = cap_slots if cap_slots is not None else \
         int(math.ceil(num_vis * cap_factor / block_v)) * block_v
-    cap = -(-int(cap) // block_v) * block_v
+    # Round to a (block_v, prep-granule) common multiple: the fused
+    # prep kernels block 1-D stream operands at PREP_G (the native
+    # T(1024) lane tile, kernels/packed_tap.py).
+    from ..kernels.packed_tap import PREP_G
+
+    quantum = block_v * PREP_G // math.gcd(block_v, PREP_G)
+    cap = -(-int(cap) // quantum) * quantum
     # The device plan's padded-offset cumsum and the merge-sort
     # placement keys (up to 3*cap + num_vis) run in int32; the worst
     # padding case is every bucket padded.
@@ -597,24 +602,20 @@ class _StreamEngine:
             visited = visited & jnp.logical_not(overflow)
             processed = jnp.where(overflow, 0, processed)
 
-        uk = eval_kernel_taps(arrays["u_frac"], self._uv_c,
-                              plan.oversampling)
-        vk = eval_kernel_taps(arrays["v_frac"], self._uv_c,
-                              plan.oversampling)
-        wk = jnp.where(arrays["valid"][:, None],
-                       eval_kernel_taps(arrays["w_row"], self._w_c,
-                                        plan.w_oversampling), 0.0)
-        ubase, vband, _ = build_bands(arrays["u_off"], arrays["iv0"],
-                                      uk, vk, plan.subgrid_size)
-        if self.fast:
-            vband = vband.astype(jnp.bfloat16)
-        wk_t = wk.T
+        # Fused one-pass prep: Chebyshev taps + placed bands + scale
+        # stack straight from the placed plan (the staged XLA
+        # formulation paid an HBM pass per stage, ~70 ms per dense
+        # chunk on-chip). Visibilities arrive pre-placed (sort
+        # payloads in _plan_chunk) — no permutation gather.
+        from ..kernels.packed_tap import stream_prep_grid_pallas
 
-        # Visibilities arrive pre-placed (sort payloads in
-        # _plan_chunk) — no permutation gather.
-        vre_s, vim_s = arrays["vre"], arrays["vim"]
-        scales = jnp.concatenate([wk_t * vre_s[None, :],
-                                  wk_t * vim_s[None, :]], axis=0)
+        ubase, vband, scales = stream_prep_grid_pallas(
+            arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
+            arrays["w_row"], arrays["vre"], arrays["vim"],
+            arrays["iv0"], self._uv_c, self._w_c,
+            plan.oversampling, plan.w_oversampling, plan.support,
+            plan.w_support, plan.subgrid_size, splan.block_v,
+            fast=self.fast, interpret=self.interpret)
         wins = grid_packed_pallas(
             block_bucket, ubase, vband, scales, splan.num_buckets,
             plan.subgrid_size, plan.w_support, block_v=splan.block_v,
@@ -691,11 +692,15 @@ class _StreamEngine:
         if fn is not None:
             return fn
         splan = self.splan
-        if splan.chunk_rows % n or splan.cap % (n * splan.block_v):
+        from ..kernels.packed_tap import PREP_G
+
+        if splan.chunk_rows % n or splan.cap % (n * splan.block_v) \
+                or (splan.cap // n) % PREP_G:
             raise SdpInvalidArgumentError(
                 f"chunk_rows ({splan.chunk_rows}) must divide by the "
                 f"row-shard count ({n}) and cap ({splan.cap}) by "
-                "n*block_v")
+                f"n*block_v with a per-shard cap that is a multiple "
+                f"of the prep granule ({PREP_G}); adjust cap_slots")
         cap_s = splan.cap // n
         nblk_s = cap_s // splan.block_v
 
@@ -745,11 +750,15 @@ class _StreamEngine:
         if fn is not None:
             return fn
         splan = self.splan
-        if splan.chunk_rows % n or splan.cap % (n * splan.block_v):
+        from ..kernels.packed_tap import PREP_G
+
+        if splan.chunk_rows % n or splan.cap % (n * splan.block_v) \
+                or (splan.cap // n) % PREP_G:
             raise SdpInvalidArgumentError(
                 f"chunk_rows ({splan.chunk_rows}) must divide by the "
                 f"row-shard count ({n}) and cap ({splan.cap}) by "
-                "n*block_v")
+                f"n*block_v with a per-shard cap that is a multiple "
+                f"of the prep granule ({PREP_G}); adjust cap_slots")
         cap_s = splan.cap // n
         nblk_s = cap_s // splan.block_v
 
@@ -820,17 +829,15 @@ class _StreamEngine:
             overflow = void(overflow)
             processed = jnp.where(overflow, 0, processed)
 
-        uk = eval_kernel_taps(arrays["u_frac"], self._uv_c,
-                              plan.oversampling)
-        vk = eval_kernel_taps(arrays["v_frac"], self._uv_c,
-                              plan.oversampling)
-        wk = jnp.where(arrays["valid"][:, None],
-                       eval_kernel_taps(arrays["w_row"], self._w_c,
-                                        plan.w_oversampling), 0.0)
-        ubase, _, vband_t = build_bands(arrays["u_off"], arrays["iv0"],
-                                        uk, vk, plan.subgrid_size)
-        if self.fast:
-            vband_t = vband_t.astype(jnp.bfloat16)
+        from ..kernels.packed_tap import stream_prep_degrid_pallas
+
+        ubase, vband_t, wk_t = stream_prep_degrid_pallas(
+            arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
+            arrays["w_row"], arrays["valid"].astype(jnp.float32),
+            arrays["iv0"], self._uv_c, self._w_c,
+            plan.oversampling, plan.w_oversampling, plan.support,
+            plan.w_support, plan.subgrid_size, splan.block_v,
+            fast=self.fast, interpret=self.interpret)
 
         # Per-block (plane, u-octet, v-quad) tile coordinates from the
         # traced block->bucket map (PackedGridder precomputes these on
@@ -843,7 +850,7 @@ class _StreamEngine:
         hv_idx = jnp.zeros_like(bb)
 
         out_raw = degrid_fused_pallas(
-            st, p_idx, octet, hv_idx, ubase, vband_t, wk.T,
+            st, p_idx, octet, hv_idx, ubase, vband_t, wk_t,
             plan.w_support, block_v=splan.block_v, fast=self.fast,
             interpret=self.interpret, raw=True)
         # Back to (row, chan) order through the sort-derived
