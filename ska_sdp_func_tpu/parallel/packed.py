@@ -155,12 +155,17 @@ def _image_to_plane_stack(kernel, image, w_offsets):
 
 
 # Per-block fixed kernel cost expressed in visibility-equivalents.
-# Measured on-chip 2026-08-18 (experiments/exp_block.py, dense 4.2M-vis
-# stream): the kernel is latency-bound per block — ~250-290 ns fixed
-# per block against ~1.7 ns marginal per slot, i.e. ~150
-# vis-equivalents — so larger blocks win until bucket-padding blows up
-# the slot count (f32 grid 213/277/323 Mvis/s at 128/256/512; bf16
-# 456 at 1024).  Auto-selection minimises
+# Measured on-chip 2026-08-19 (experiments/exp_block.py, dense 4.2M-vis
+# stream, full 128..2048 sweep in both precisions): ~180-670 ns fixed
+# per block against a BLOCK-INDEPENDENT floor of ~10-12 ms f32 /
+# ~6-9 ms bf16 (operand streaming + dots, proportional to padded
+# slots) — so larger blocks win until bucket-padding blows up the
+# slot count.  f32 grid 214/281/311/349/336 Mvis/s at
+# 128/256/512/1024/2048 (1024 validated best standalone — the round-2
+# OOM at 1024 was cumulative across four coexisting plans in one
+# process); bf16 468 at 1024 vs 475 at 2048 (within noise of the
+# 1.33x-pad cost; not worth a precision-dependent candidate list).
+# Auto-selection minimises
 # padded_total + _BLOCK_OVERHEAD_VIS * num_blocks.
 _BLOCK_OVERHEAD_VIS = 150
 _BLOCK_CANDIDATES = (128, 256, 512, 1024)

@@ -21,11 +21,16 @@ evaluation, gridding, accumulation — runs on the TPU:
    bucket counts and the block layout are compile-time constants.
 2. **Device planning** (per chunk, inside one jit): the same quantised
    geometry arithmetic as ``plan_packed`` (cited there from
-   sdp_gridder_wtower_uvw.cpp:126-142) in f32, a stable
-   ``jnp.argsort`` bucket sort, destination scatter into a
-   fixed-capacity padded stream, and Chebyshev tap evaluation — then
-   straight into the packed Pallas kernel and the shared fold/FFT/
-   ladder/correction stages.
+   sdp_gridder_wtower_uvw.cpp:126-142) in f32; every per-entry
+   quantity (including the visibilities) rides variadic ``lax.sort``
+   payloads into bucket order and then into the fixed-capacity padded
+   stream via a merge sort keyed by destination slot — TPU XLA
+   gathers/scatters cost ~12-60 ns/element while sort payloads are
+   nearly free (experiments/exp_gather.py), so the plan performs no
+   entry-scale gathers at all. Fused Pallas prep kernels then turn
+   the placed integer plan into the tap bands in one pass, feeding
+   the packed kernel and the shared fold/FFT/ladder/correction
+   stages.
 3. **Accumulation**: the dirty-image accumulator and the
    processed/dropped/overflow counters live on device, so a chunk
    costs exactly one H2D transfer (uvw + vis) and zero readbacks;
