@@ -224,6 +224,26 @@ def _call_npair(bucket_ids, ins, block_v, num_buckets, interpret):
     )(ids2, *ins)
 
 
+def _jit_call(kernel, block_v, num_buckets, lhs_streamed, interpret):
+    """Jitted wrapper — eager pallas_call pays ~150 µs/call of
+    op-by-op dispatch (measured 2026-08-19: the whole un-jitted sweep
+    ran ~50x slower than the production kernel), so every timed
+    variant must run under jax.jit like production does."""
+    @jax.jit
+    def f(bucket_ids, *ins):
+        return _call(kernel, bucket_ids, ins, block_v, num_buckets,
+                     lhs_streamed, interpret)
+    return f
+
+
+def _jit_call_npair(block_v, num_buckets, interpret):
+    @jax.jit
+    def f(bucket_ids, *ins):
+        return _call_npair(bucket_ids, ins, block_v, num_buckets,
+                           interpret)
+    return f
+
+
 def main():
     interpret = CHECK
     if CHECK:
@@ -287,61 +307,52 @@ def main():
     def feed_uall16(s):
         state["uall16"] = fb16(state["uall16"], s)
 
+    f_prod = _jit_call(_k_prod, block_v, num_buckets, False, interpret)
+    f_lhs = _jit_call(_k_lhs_stream, block_v, num_buckets, True,
+                      interpret)
+    f_nodot = _jit_call(_k_nodot, block_v, num_buckets, False,
+                        interpret)
+    f_npair = _jit_call_npair(block_v, num_buckets, interpret)
+    f_ks = {s: _jit_call(functools.partial(_k_ksplit, splits=s),
+                         block_v, num_buckets, False, interpret)
+            for s in (2, 4)}
+
     results = {}
     results["prod"] = run(
-        "prod", lambda: _call(_k_prod, bucket_ids,
-                              (ubase, vband, state["scales"]),
-                              block_v, num_buckets, False, interpret),
-        feed_scales)
+        "prod", lambda: f_prod(bucket_ids, ubase, vband,
+                               state["scales"]), feed_scales)
     results["prod_bf16"] = run(
-        "prod_bf16", lambda: _call(_k_prod, bucket_ids,
-                                   (ubase, state["vband16"],
-                                    state["scales"]),
-                                   block_v, num_buckets, False,
-                                   interpret),
-        feed_scales)
+        "prod_bf16", lambda: f_prod(bucket_ids, ubase,
+                                    state["vband16"],
+                                    state["scales"]), feed_scales)
     results["lhs_stream"] = run(
-        "lhs_stream", lambda: _call(_k_lhs_stream, bucket_ids,
-                                    (state["uall"], vband),
-                                    block_v, num_buckets, True,
-                                    interpret),
+        "lhs_stream", lambda: f_lhs(bucket_ids, state["uall"], vband),
         feed_uall)
     results["lhs_stream_bf16"] = run(
-        "lhs_stream_bf16", lambda: _call(_k_lhs_stream, bucket_ids,
-                                         (state["uall16"],
-                                          state["vband16"]),
-                                         block_v, num_buckets, True,
-                                         interpret),
+        "lhs_stream_bf16", lambda: f_lhs(bucket_ids, state["uall16"],
+                                         state["vband16"]),
         feed_uall16)
     for splits in (2, 4):
         results[f"ksplit{splits}"] = run(
             f"ksplit{splits}",
-            lambda: _call(functools.partial(_k_ksplit, splits=splits),
-                          bucket_ids, (ubase, vband, state["scales"]),
-                          block_v, num_buckets, False, interpret),
+            lambda splits=splits: f_ks[splits](
+                bucket_ids, ubase, vband, state["scales"]),
             feed_scales)
         results[f"ksplit{splits}_bf16"] = run(
             f"ksplit{splits}_bf16",
-            lambda: _call(functools.partial(_k_ksplit, splits=splits),
-                          bucket_ids,
-                          (ubase, state["vband16"], state["scales"]),
-                          block_v, num_buckets, False, interpret),
+            lambda splits=splits: f_ks[splits](
+                bucket_ids, ubase, state["vband16"], state["scales"]),
             feed_scales)
     results["npair"] = run(
-        "npair", lambda: _call_npair(bucket_ids,
-                                     (ubase, vband, state["scales"]),
-                                     block_v, num_buckets, interpret),
-        feed_scales)
+        "npair", lambda: f_npair(bucket_ids, ubase, vband,
+                                 state["scales"]), feed_scales)
     results["npair_bf16"] = run(
-        "npair_bf16", lambda: _call_npair(
-            bucket_ids, (ubase, state["vband16"], state["scales"]),
-            block_v, num_buckets, interpret),
-        feed_scales)
+        "npair_bf16", lambda: f_npair(bucket_ids, ubase,
+                                      state["vband16"],
+                                      state["scales"]), feed_scales)
     results["nodot"] = run(
-        "nodot", lambda: _call(_k_nodot, bucket_ids,
-                               (ubase, vband, state["scales"]),
-                               block_v, num_buckets, False, interpret),
-        feed_scales)
+        "nodot", lambda: f_nodot(bucket_ids, ubase, vband,
+                                 state["scales"]), feed_scales)
 
     if CHECK:
         base = results["prod"]

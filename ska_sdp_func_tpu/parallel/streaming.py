@@ -326,6 +326,16 @@ class _StreamEngine:
         self._uv_c = _tap_coeffs_cached(plan.support, plan.oversampling)
         self._w_c = _tap_coeffs_cached(plan.w_support,
                                        plan.w_oversampling)
+        # Sort payloads cost ~2.9 ms each in the N-key sort and
+        # ~9.9 ms each in the (N+cap) placement sort at dense-chunk
+        # scale (experiments/exp_stream_split.py, 2026-08-19) — the
+        # two sorts are ~74% of the step. When the plan geometry fits,
+        # the five small fields ride as TWO bit-packed int32 payloads:
+        # packedA = iu0[8b] << 22 | iv0[8b] << 14 | w_row[14b],
+        # packedB = u_frac[14b] << 14 | v_frac[14b].
+        self._pack = (plan.subgrid_size - plan.support <= 255
+                      and plan.oversampling <= 16384
+                      and plan.w_oversampling <= 16384)
 
         # Shared ladders + per-task prefactors (static task set; same
         # construction as PackedGridder, grid AND degrid directions).
@@ -374,7 +384,8 @@ class _StreamEngine:
     # -- device planning (all jnp, traced) -----------------------------
 
     def _plan_chunk(self, uvw, row_mask, vre=None, vim=None,
-                    cap: int = None, num_blocks: int = None):
+                    cap: int = None, num_blocks: int = None,
+                    need_unsort: bool = True):
         """Per-chunk device plan: the quantised geometry of
         plan_packed/packed_entry in f32 (see module precision note).
 
@@ -480,15 +491,23 @@ class _StreamEngine:
         #     keyed out of range] — the first `cap` outputs are
         #     exactly the placed stream.
         N = bucket.shape[0]
-        oidx = jnp.arange(N, dtype=jnp.int32)
-        ops = [bucket, iu0, iv0, u_frac, v_frac, w_row, oidx]
-        nvis_ops = len(ops)
+        if self._pack:
+            packed_a = (iu0 << 22) | (iv0 << 14) | w_row
+            packed_b = (u_frac << 14) | v_frac
+            ops = [bucket, packed_a, packed_b]
+        else:
+            ops = [bucket, iu0, iv0, u_frac, v_frac, w_row]
+        # The original-index payload only feeds the degrid unsort map;
+        # the grid step opts out and saves a ~3 ms/chunk payload.
+        if need_unsort:
+            ops.append(jnp.arange(N, dtype=jnp.int32))
+        oidx_pos = len(ops) - 1
         if vre is not None:
             ops += [vre.ravel(), vim.ravel()]
         sorted_ops = jax.lax.sort(tuple(ops), dimension=0,
                                   is_stable=True, num_keys=1)
         b_s = sorted_ops[0]
-        oidx_s = sorted_ops[6]
+        oidx_s = sorted_ops[oidx_pos] if need_unsort else None
 
         # Bucket tables from the sorted keys (edge e = first sorted
         # position with key >= e; no bincount scatter-add).
@@ -547,12 +566,27 @@ class _StreamEngine:
             f = jnp.full((cap,), fill, x_s.dtype)
             return jnp.concatenate([x_s, f])
 
+        # oidx is NOT a placement payload: the degrid unsort works in
+        # original order via dest_by_orig below, so placing it would
+        # pay ~10 ms of pure waste at dense-chunk scale.
+        plan_idx = ([1, 2] if self._pack else [1, 2, 3, 4, 5])
+        vis_idx = ([i for i in range(oidx_pos + 1, len(ops))]
+                   if vre is not None else [])
         place_ops = [jnp.concatenate([key_real, key_fill])] + [
-            placed(sorted_ops[i], N if i == 6 else 0)
-            for i in range(1, len(ops))]
+            placed(sorted_ops[i]) for i in plan_idx + vis_idx]
         out = jax.lax.sort(tuple(place_ops), dimension=0,
                            is_stable=False, num_keys=1)
-        iu0_p, iv0_p, uf_p, vf_p, wr_p = (o[:cap] for o in out[1:6])
+        nvis_ops = 1 + len(plan_idx)        # vis outputs start here
+        if self._pack:
+            pa_p, pb_p = (o[:cap] for o in out[1:3])
+            iu0_p = pa_p >> 22
+            iv0_p = (pa_p >> 14) & 255
+            wr_p = pa_p & 16383
+            uf_p = pb_p >> 14
+            vf_p = pb_p & 16383
+        else:
+            iu0_p, iv0_p, uf_p, vf_p, wr_p = (o[:cap]
+                                              for o in out[1:6])
 
         arrays = dict(
             u_off=jnp.where(slot_ok, iu0_p & 7, 0),
@@ -575,13 +609,15 @@ class _StreamEngine:
         dropped = jnp.sum(mask & jnp.logical_not(ok)).astype(jnp.int32)
         # Degrid inverse (entry -> slot in ORIGINAL order): unsort the
         # dest values by the carried original index — one more cheap
-        # sort; the grid step never uses it (XLA DCEs it). Invalid
+        # sort; the grid step opts out via need_unsort=False. Invalid
         # entries point at the guaranteed-zero extra slot `cap`.
-        dest_sentinel = jnp.where(b_s < nb, jnp.minimum(dest, cap),
-                                  cap)
-        dest_by_orig = jax.lax.sort(
-            (oidx_s, dest_sentinel), dimension=0, is_stable=False,
-            num_keys=1)[1]
+        dest_by_orig = None
+        if need_unsort:
+            dest_sentinel = jnp.where(b_s < nb,
+                                      jnp.minimum(dest, cap), cap)
+            dest_by_orig = jax.lax.sort(
+                (oidx_s, dest_sentinel), dimension=0, is_stable=False,
+                num_keys=1)[1]
         return (arrays, dest_by_orig, block_bucket, visited, processed,
                 dropped, overflow)
 
@@ -601,7 +637,8 @@ class _StreamEngine:
         plan = splan.wplan
         (arrays, _dest, block_bucket, visited, processed,
          dropped, overflow) = self._plan_chunk(uvw, row_mask, vre, vim,
-                                               cap, num_blocks)
+                                               cap, num_blocks,
+                                               need_unsort=False)
         if void is not None:
             overflow = void(overflow)
             visited = visited & jnp.logical_not(overflow)
