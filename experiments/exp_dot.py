@@ -250,7 +250,10 @@ def main():
         block_v, nb, blocks_per_bucket = 128, 8, 2
     else:
         wait_for_chip()
-        block_v, nb, blocks_per_bucket = 1024, 4096, 8
+        # nb=4096 OOM'd once jitted (ubase+vband+scales+uall+bf16
+        # copies ~7 GB before jit temporaries); half scale keeps the
+        # same per-block statistics at ~3.5 GB resident.
+        block_v, nb, blocks_per_bucket = 1024, 2048, 8
     total = block_v * nb
     num_buckets = nb // blocks_per_bucket
     rng = np.random.default_rng(0)

@@ -536,55 +536,86 @@ class _StreamEngine:
         slot_ok = ((rank >= 0) & (rank < cnt_b)
                    & jnp.logical_not(overflow))
 
-        # Entry side: destination slot via segmented scans. For sorted
-        # entry k in bucket b: dest = pad_off[b] + (k - sstart[b])
-        # = k + gap, where gap accumulates (padded - count) over the
-        # CLOSED segments before k — pure cummax/cumsum arithmetic,
-        # no entry-scale table gather.
+        # Entry side: destination slot via segmented scans — needed
+        # only for the degrid unsort map (and the sort-placement
+        # fallback). For sorted entry k in bucket b: dest = pad_off[b]
+        # + (k - sstart[b]) = k + gap, where gap accumulates
+        # (padded - count) over the CLOSED segments before k — pure
+        # cummax/cumsum arithmetic, no entry-scale table gather.
         k_iota = jnp.arange(N, dtype=jnp.int32)
-        start = jnp.concatenate(
-            [jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
-        ss = jax.lax.cummax(jnp.where(start, k_iota, -1))
-        ss_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   ss[:-1]])
-        c_prev = k_iota - ss_prev
-        pad_prev = -(-c_prev // splan.block_v) * splan.block_v
-        delta = jnp.where(start & (k_iota > 0), pad_prev - c_prev, 0)
-        dest = k_iota + jnp.cumsum(delta).astype(jnp.int32)
+        dest = None
+        if need_unsort or not self._pack:
+            start = jnp.concatenate(
+                [jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+            ss = jax.lax.cummax(jnp.where(start, k_iota, -1))
+            ss_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                       ss[:-1]])
+            c_prev = k_iota - ss_prev
+            pad_prev = -(-c_prev // splan.block_v) * splan.block_v
+            delta = jnp.where(start & (k_iota > 0),
+                              pad_prev - c_prev, 0)
+            dest = k_iota + jnp.cumsum(delta).astype(jnp.int32)
 
-        # Placement merge sort: real entries keyed by dest (invalid
-        # ones — sentinel bucket nb — keyed past cap), one filler per
-        # slot (padding slots keyed by their slot id, real slots keyed
-        # further out). Without overflow the keys in [0, cap) are a
-        # permutation: valid dests are exactly the non-padding slots.
-        key_real = jnp.where(b_s < nb, jnp.minimum(dest, cap),
-                             cap + k_iota)
-        key_fill = jnp.where(slot_ok, 2 * cap + N + slot_iota,
-                             slot_iota)
-
-        def placed(x_s, fill=0):
-            f = jnp.full((cap,), fill, x_s.dtype)
-            return jnp.concatenate([x_s, f])
-
-        # oidx is NOT a placement payload: the degrid unsort works in
-        # original order via dest_by_orig below, so placing it would
-        # pay ~10 ms of pure waste at dense-chunk scale.
         plan_idx = ([1, 2] if self._pack else [1, 2, 3, 4, 5])
         vis_idx = ([i for i in range(oidx_pos + 1, len(ops))]
                    if vre is not None else [])
-        place_ops = [jnp.concatenate([key_real, key_fill])] + [
-            placed(sorted_ops[i]) for i in plan_idx + vis_idx]
-        out = jax.lax.sort(tuple(place_ops), dimension=0,
-                           is_stable=False, num_keys=1)
-        nvis_ops = 1 + len(plan_idx)        # vis outputs start here
         if self._pack:
-            pa_p, pb_p = (o[:cap] for o in out[1:3])
+            # Gap-insertion DMA placement (kernels/place.py): every
+            # block_v-aligned output block is one contiguous range of
+            # the key-sorted stream, so the placed stream is a memcpy
+            # — the placement merge sort paid ~10 ms per payload at
+            # dense-chunk scale. src0 may be garbage wherever
+            # vcnt <= 0 (filler blocks / overflow); reads stay in
+            # bounds via the clamp + block_v source padding.
+            from ..kernels.place import place_stream_pallas
+
+            off_in_b = slots - pad_off[block_bucket]
+            src0 = jnp.clip(edges[block_bucket] + off_in_b, 0, N)
+            vcnt = jnp.clip(counts[block_bucket] - off_in_b, 0,
+                            splan.block_v)
+
+            def padded_src(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((splan.block_v,), x.dtype)])
+
+            placed_out = place_stream_pallas(
+                src0, vcnt,
+                tuple(padded_src(sorted_ops[i])
+                      for i in plan_idx + vis_idx),
+                splan.block_v, cap, interpret=self.interpret)
+            pa_p, pb_p = placed_out[0], placed_out[1]
+            vis_placed = placed_out[2:]
             iu0_p = pa_p >> 22
             iv0_p = (pa_p >> 14) & 255
             wr_p = pa_p & 16383
             uf_p = pb_p >> 14
             vf_p = pb_p & 16383
         else:
+            # Placement merge sort fallback (non-packable geometry):
+            # real entries keyed by dest (invalid ones — sentinel
+            # bucket nb — keyed past cap), one filler per slot
+            # (padding slots keyed by their slot id, real slots keyed
+            # further out). Without overflow the keys in [0, cap) are
+            # a permutation: valid dests are exactly the non-padding
+            # slots.
+            key_real = jnp.where(b_s < nb, jnp.minimum(dest, cap),
+                                 cap + k_iota)
+            key_fill = jnp.where(slot_ok, 2 * cap + N + slot_iota,
+                                 slot_iota)
+
+            def placed(x_s, fill=0):
+                f = jnp.full((cap,), fill, x_s.dtype)
+                return jnp.concatenate([x_s, f])
+
+            # oidx is NOT a placement payload: the degrid unsort works
+            # in original order via dest_by_orig below, so placing it
+            # would pay ~10 ms of pure waste at dense-chunk scale.
+            place_ops = [jnp.concatenate([key_real, key_fill])] + [
+                placed(sorted_ops[i]) for i in plan_idx + vis_idx]
+            out = jax.lax.sort(tuple(place_ops), dimension=0,
+                               is_stable=False, num_keys=1)
+            nvis_ops = 1 + len(plan_idx)    # vis outputs start here
+            vis_placed = tuple(o[:cap] for o in out[nvis_ops:])
             iu0_p, iv0_p, uf_p, vf_p, wr_p = (o[:cap]
                                               for o in out[1:6])
 
@@ -596,10 +627,8 @@ class _StreamEngine:
             w_row=jnp.where(slot_ok, wr_p, 0),
             valid=slot_ok)
         if vre is not None:
-            arrays["vre"] = jnp.where(slot_ok, out[nvis_ops][:cap],
-                                      0.0)
-            arrays["vim"] = jnp.where(slot_ok, out[nvis_ops + 1][:cap],
-                                      0.0)
+            arrays["vre"] = jnp.where(slot_ok, vis_placed[0], 0.0)
+            arrays["vim"] = jnp.where(slot_ok, vis_placed[1], 0.0)
         # On overflow the kernel's block range cannot cover every
         # occupied bucket, leaving marked-visited windows unwritten
         # (garbage/NaN) — void the chunk at the fold already.
