@@ -335,7 +335,8 @@ class _StreamEngine:
         # packedB = u_frac[14b] << 14 | v_frac[14b].
         self._pack = (plan.subgrid_size - plan.support <= 255
                       and plan.oversampling <= 16384
-                      and plan.w_oversampling <= 16384)
+                      and plan.w_oversampling <= 16384
+                      and splan.block_v % 128 == 0)
 
         # Shared ladders + per-task prefactors (static task set; same
         # construction as PackedGridder, grid AND degrid directions).
@@ -566,7 +567,8 @@ class _StreamEngine:
             # — the placement merge sort paid ~10 ms per payload at
             # dense-chunk scale. src0 may be garbage wherever
             # vcnt <= 0 (filler blocks / overflow); reads stay in
-            # bounds via the clamp + block_v source padding.
+            # bounds via the clamp + the kernel's aligned-window
+            # padding.
             from ..kernels.place import place_stream_pallas
 
             off_in_b = slots - pad_off[block_bucket]
@@ -574,14 +576,9 @@ class _StreamEngine:
             vcnt = jnp.clip(counts[block_bucket] - off_in_b, 0,
                             splan.block_v)
 
-            def padded_src(x):
-                return jnp.concatenate(
-                    [x, jnp.zeros((splan.block_v,), x.dtype)])
-
             placed_out = place_stream_pallas(
                 src0, vcnt,
-                tuple(padded_src(sorted_ops[i])
-                      for i in plan_idx + vis_idx),
+                tuple(sorted_ops[i] for i in plan_idx + vis_idx),
                 splan.block_v, cap, interpret=self.interpret)
             pa_p, pb_p = placed_out[0], placed_out[1]
             vis_placed = placed_out[2:]
