@@ -582,11 +582,6 @@ class _StreamEngine:
                 splan.block_v, cap, interpret=self.interpret)
             pa_p, pb_p = placed_out[0], placed_out[1]
             vis_placed = placed_out[2:]
-            iu0_p = pa_p >> 22
-            iv0_p = (pa_p >> 14) & 255
-            wr_p = pa_p & 16383
-            uf_p = pb_p >> 14
-            vf_p = pb_p & 16383
         else:
             # Placement merge sort fallback (non-packable geometry):
             # real entries keyed by dest (invalid ones — sentinel
@@ -616,16 +611,27 @@ class _StreamEngine:
             iu0_p, iv0_p, uf_p, vf_p, wr_p = (o[:cap]
                                               for o in out[1:6])
 
-        arrays = dict(
-            u_off=jnp.where(slot_ok, iu0_p & 7, 0),
-            iv0=jnp.where(slot_ok, iv0_p, 0),
-            u_frac=jnp.where(slot_ok, uf_p, 0),
-            v_frac=jnp.where(slot_ok, vf_p, 0),
-            w_row=jnp.where(slot_ok, wr_p, 0),
-            valid=slot_ok)
-        if vre is not None:
-            arrays["vre"] = jnp.where(slot_ok, vis_placed[0], 0.0)
-            arrays["vim"] = jnp.where(slot_ok, vis_placed[1], 0.0)
+        if self._pack:
+            # The placed packed streams feed the packed prep kernels
+            # directly (unpack happens in VMEM); the place kernel
+            # already zero-fills invalid slots, including vre/vim, so
+            # garbage taps multiply zero visibilities. The overflow
+            # case is masked downstream (visited/gain).
+            arrays = dict(packed_a=pa_p, packed_b=pb_p, valid=slot_ok)
+            if vre is not None:
+                arrays["vre"] = vis_placed[0]
+                arrays["vim"] = vis_placed[1]
+        else:
+            arrays = dict(
+                u_off=jnp.where(slot_ok, iu0_p & 7, 0),
+                iv0=jnp.where(slot_ok, iv0_p, 0),
+                u_frac=jnp.where(slot_ok, uf_p, 0),
+                v_frac=jnp.where(slot_ok, vf_p, 0),
+                w_row=jnp.where(slot_ok, wr_p, 0),
+                valid=slot_ok)
+            if vre is not None:
+                arrays["vre"] = jnp.where(slot_ok, vis_placed[0], 0.0)
+                arrays["vim"] = jnp.where(slot_ok, vis_placed[1], 0.0)
         # On overflow the kernel's block range cannot cover every
         # occupied bucket, leaving marked-visited windows unwritten
         # (garbage/NaN) — void the chunk at the fold already.
@@ -675,15 +681,27 @@ class _StreamEngine:
         # formulation paid an HBM pass per stage, ~70 ms per dense
         # chunk on-chip). Visibilities arrive pre-placed (sort
         # payloads in _plan_chunk) — no permutation gather.
-        from ..kernels.packed_tap import stream_prep_grid_pallas
+        if self._pack:
+            from ..kernels.packed_tap import (
+                stream_prep_grid_packed_pallas,
+            )
 
-        ubase, vband, scales = stream_prep_grid_pallas(
-            arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
-            arrays["w_row"], arrays["vre"], arrays["vim"],
-            arrays["iv0"], self._uv_c, self._w_c,
-            plan.oversampling, plan.w_oversampling, plan.support,
-            plan.w_support, plan.subgrid_size, splan.block_v,
-            fast=self.fast, interpret=self.interpret)
+            ubase, vband, scales = stream_prep_grid_packed_pallas(
+                arrays["packed_a"], arrays["packed_b"],
+                arrays["vre"], arrays["vim"], self._uv_c, self._w_c,
+                plan.oversampling, plan.w_oversampling, plan.support,
+                plan.w_support, plan.subgrid_size,
+                fast=self.fast, interpret=self.interpret)
+        else:
+            from ..kernels.packed_tap import stream_prep_grid_pallas
+
+            ubase, vband, scales = stream_prep_grid_pallas(
+                arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
+                arrays["w_row"], arrays["vre"], arrays["vim"],
+                arrays["iv0"], self._uv_c, self._w_c,
+                plan.oversampling, plan.w_oversampling, plan.support,
+                plan.w_support, plan.subgrid_size, splan.block_v,
+                fast=self.fast, interpret=self.interpret)
         wins = grid_packed_pallas(
             block_bucket, ubase, vband, scales, splan.num_buckets,
             plan.subgrid_size, plan.w_support, block_v=splan.block_v,
@@ -897,15 +915,28 @@ class _StreamEngine:
             overflow = void(overflow)
             processed = jnp.where(overflow, 0, processed)
 
-        from ..kernels.packed_tap import stream_prep_degrid_pallas
+        if self._pack:
+            from ..kernels.packed_tap import (
+                stream_prep_degrid_packed_pallas,
+            )
 
-        ubase, vband_t, wk_t = stream_prep_degrid_pallas(
-            arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
-            arrays["w_row"], arrays["valid"].astype(jnp.float32),
-            arrays["iv0"], self._uv_c, self._w_c,
-            plan.oversampling, plan.w_oversampling, plan.support,
-            plan.w_support, plan.subgrid_size, splan.block_v,
-            fast=self.fast, interpret=self.interpret)
+            ubase, vband_t, wk_t = stream_prep_degrid_packed_pallas(
+                arrays["packed_a"], arrays["packed_b"],
+                arrays["valid"].astype(jnp.float32),
+                self._uv_c, self._w_c,
+                plan.oversampling, plan.w_oversampling, plan.support,
+                plan.w_support, plan.subgrid_size,
+                fast=self.fast, interpret=self.interpret)
+        else:
+            from ..kernels.packed_tap import stream_prep_degrid_pallas
+
+            ubase, vband_t, wk_t = stream_prep_degrid_pallas(
+                arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
+                arrays["w_row"], arrays["valid"].astype(jnp.float32),
+                arrays["iv0"], self._uv_c, self._w_c,
+                plan.oversampling, plan.w_oversampling, plan.support,
+                plan.w_support, plan.subgrid_size, splan.block_v,
+                fast=self.fast, interpret=self.interpret)
 
         # Per-block (plane, u-octet, v-quad) tile coordinates from the
         # traced block->bucket map (PackedGridder precomputes these on
