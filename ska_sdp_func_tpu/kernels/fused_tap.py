@@ -1,0 +1,373 @@
+"""Fully fused packed grid/degrid Pallas kernels (round 4).
+
+The round-2/3 packed kernels (:mod:`.packed_tap`) stream pre-built tap
+*bands* from HBM — ``ubase [16, V]`` + ``vband [V, lanes]`` + scale/w
+stacks, ~600 B per visibility slot.  The round-3 block sweep proved
+that operand streaming, not block latency, caps that formulation at a
+block-independent floor (~10-12 ms f32 at 4.2M vis on the attached
+v5e-class chip).  These kernels move the tap evaluation INSIDE the
+grid/degrid kernels: each block unpacks two bit-packed int32 plan
+words per slot (8 B), evaluates the Chebyshev tap fits in VMEM
+(:func:`packed_tap._clenshaw_rows`, fit error ~1e-13 vs the f64
+tables) and builds the band operands on the fly — the per-slot HBM
+traffic drops to 16 B (grid: pa/pb/vre/vim) / 8 B (degrid: pa/pb),
+and the prep stage disappears from the streaming pipeline entirely.
+
+Packed plan words (:func:`pack_plan_words`):
+
+* ``pa = iv0 << 20 | u_off << 17 | w_row`` — iv0 <= 2047 (subgrid up
+  to 2048), u_off in [0, 8), w_row < 131072;
+* ``pb = valid << 30 | u_frac << 15 | v_frac`` — fractions < 32768
+  (oversampling up to 32768).
+
+Invalid / padding slots carry ``pa = pb = 0``: the grid direction
+zero-masks through the visibilities (garbage taps multiply zero), the
+degrid direction through the ``valid`` bit folded into the w-taps.
+
+Blocks are processed in ``sub_v``-slot chunks so the VPU band build
+of chunk *i+1* can overlap the MXU dot of chunk *i* (Mosaic schedules
+the independent chains onto the two units).
+
+Precision modes (``precision=``):
+
+* ``"highest"`` — f32 operands, 6-pass MXU (reference-accuracy path);
+* ``"high"``    — f32 operands, 3-pass bf16-split MXU with f32
+  accumulate (~1e-6 relative dot error — inside the f32 ladder
+  accumulation budget, measured ~2x the HIGHEST pass rate);
+* ``"bf16"``    — bf16 operands, single-pass MXU (~2e-3 kernel
+  accuracy; the opt-in ``fast=True`` mode).
+
+Reference CUDA equivalent: the in-kernel oversampled-table tap lookup
+of the scatter/gather kernels (sdp_gridder_wtower_uvw.cu:129-241) —
+the TPU version evaluates the taps from Chebyshev fits instead of
+fetching a 16k-row table, which the reference itself flags as its
+memory-latency bottleneck (sdp_gridder_wtower_uvw.cpp:446-450).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .packed_tap import WIN_ROWS, _VMEM_LIMIT, _clenshaw_rows
+
+Array = jax.Array
+
+# Packed-word field limits (see module docstring).
+MAX_IV0 = 2047
+MAX_OVERSAMPLING = 32768
+MAX_W_OVERSAMPLING = 131072
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
+
+
+def fused_geometry_ok(subgrid_size: int, support: int,
+                      oversampling: int, w_oversampling: int) -> bool:
+    """True when the plan fields fit the packed int32 words."""
+    return (subgrid_size - support <= MAX_IV0
+            and oversampling <= MAX_OVERSAMPLING
+            and w_oversampling <= MAX_W_OVERSAMPLING)
+
+
+def pack_plan_words(iv0, u_off, w_row, u_frac, v_frac, valid):
+    """Bit-pack the per-slot plan fields into two int32 words.
+
+    Works on NumPy arrays (host whole-image plan) and jnp arrays (the
+    streaming device plan).  ``valid`` may be bool or {0,1} int.
+    """
+    xp = np if isinstance(iv0, np.ndarray) else jnp
+    i32 = xp.int32
+    pa = ((iv0.astype(i32) << 20) | (u_off.astype(i32) << 17)
+          | w_row.astype(i32))
+    pb = ((valid.astype(i32) << 30) | (u_frac.astype(i32) << 15)
+          | v_frac.astype(i32))
+    return pa, pb
+
+
+def _unpack_words(pa, pb):
+    iv0 = pa >> 20
+    u_off = (pa >> 17) & 7
+    w_row = pa & (MAX_W_OVERSAMPLING - 1)
+    valid = pb >> 30
+    u_frac = (pb >> 15) & (MAX_OVERSAMPLING - 1)
+    v_frac = pb & (MAX_OVERSAMPLING - 1)
+    return iv0, u_off, w_row, u_frac, v_frac, valid
+
+
+def _prep_common(pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support):
+    """Shared per-chunk prep: unpack + Chebyshev taps + u-base band.
+
+    Returns (ubase [16, n], uk-free, wk [Sw, n], vk [S, n], iv0,
+    valid_f [n]).
+    """
+    iv0, u_off, w_row, u_frac, v_frac, valid = _unpack_words(pa, pb)
+    n = pa.shape[0]
+    xu = inv2_ov * u_frac.astype(jnp.float32) - 1.0
+    uk = _clenshaw_rows(xu, c_uv)                       # [S, n]
+    xw = inv2_wov * w_row.astype(jnp.float32) - 1.0
+    wk = _clenshaw_rows(xw, c_w)                        # [Sw, n]
+    xv = inv2_ov * v_frac.astype(jnp.float32) - 1.0
+    vk = _clenshaw_rows(xv, c_uv)                       # [S, n]
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, n), 0)
+    ub = jnp.zeros((WIN_ROWS, n), jnp.float32)
+    for s in range(support):
+        ub = jnp.where(row16 == u_off + s, uk[s], ub)
+    return ub, wk, vk, iv0, valid.astype(jnp.float32)
+
+
+def _grid_fused_kernel(bucket_ref, cuv_ref, cw_ref, pa_ref, pb_ref,
+                       vre_ref, vim_ref, out_ref, *, inv2_ov, inv2_wov,
+                       support: int, w_support: int, lanes: int,
+                       sub_v: int, precision_name: str):
+    b = pl.program_id(0)
+    prev = bucket_ref[jnp.maximum(b - 1, 0)]
+    first = jnp.logical_or(b == 0, prev != bucket_ref[b])
+    c_uv, c_w = cuv_ref[:], cw_ref[:]
+    num_p = 2 * w_support
+    block_v = pa_ref.shape[1]
+    precision = _PRECISIONS[precision_name]
+    bf16 = precision_name == "bf16"
+
+    contrib = jnp.zeros((num_p * WIN_ROWS, lanes), jnp.float32)
+    # Sub-block chunks: independent VPU prep / MXU dot chains that
+    # Mosaic can overlap across chunks.
+    for i in range(block_v // sub_v):
+        sl = pl.ds(i * sub_v, sub_v)
+        pa = pa_ref[0, sl]
+        pb = pb_ref[0, sl]
+        ub, wk, vk, iv0, _valid = _prep_common(
+            pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support)
+        vre = vre_ref[0, sl]
+        vim = vim_ref[0, sl]
+        # u_all rows j*16+r: (re if j < Sw else im) scale of layer
+        # j % Sw times the placed u-taps (packed_tap row layout).
+        u_all = jnp.concatenate(
+            [ub * (wk[j] * vre)[None, :] for j in range(w_support)]
+            + [ub * (wk[j] * vim)[None, :] for j in range(w_support)],
+            axis=0)                                     # [num_p*16, n]
+        # v-band: taps placed at their lane offsets (one-hot expand).
+        vkt = vk.T                                      # [n, S]
+        iv = iv0.reshape(sub_v, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sub_v, lanes), 1)
+        vb = jnp.zeros((sub_v, lanes), jnp.float32)
+        for s in range(support):
+            vb = jnp.where(col == iv + s, vkt[:, s:s + 1], vb)
+        if bf16:
+            u_all = u_all.astype(jnp.bfloat16)
+            vb = vb.astype(jnp.bfloat16)
+        contrib = contrib + jnp.dot(
+            u_all, vb, preferred_element_type=jnp.float32,
+            precision=precision)
+    contrib = contrib.reshape(num_p, WIN_ROWS, lanes)
+
+    @pl.when(first)
+    def _():
+        out_ref[:, 0] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:, 0] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_buckets", "lanes", "support", "w_support", "oversampling",
+    "w_oversampling", "block_v", "sub_v", "precision", "interpret"))
+def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
+                      w_coeffs, num_buckets: int, lanes: int,
+                      support: int, w_support: int, oversampling: int,
+                      w_oversampling: int, block_v: int = 1024,
+                      sub_v: int = 0, precision: str = "highest",
+                      interpret: bool = False) -> Array:
+    """Fused packed gridding: bit-packed plan words -> window stack.
+
+    pa/pb: [total] int32 (:func:`pack_plan_words`, bucket-sorted and
+    block-padded); vre/vim: [total] f32 (zero on invalid/padding
+    slots); bucket_ids: [total // block_v] int32.  Returns
+    [2*w_support, num_buckets, 16, lanes] f32 windows in the
+    :mod:`.packed_tap` row layout (garbage in never-visited buckets —
+    mask the fold with the plan's visited mask).
+    """
+    total = pa.shape[0]
+    num_blocks = total // block_v
+    num_p = 2 * w_support
+    if not sub_v:
+        sub_v = min(block_v, 512)
+    c_uv = jnp.asarray(uv_coeffs, jnp.float32)
+    c_w = jnp.asarray(w_coeffs, jnp.float32)
+    vec = pl.BlockSpec((1, block_v), lambda b, ids: (b, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _grid_fused_kernel,
+            inv2_ov=np.float32(2.0 / oversampling),
+            inv2_wov=np.float32(2.0 / w_oversampling),
+            support=support, w_support=w_support, lanes=lanes,
+            sub_v=sub_v, precision_name=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(c_uv.shape, lambda b, ids: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(c_w.shape, lambda b, ids: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec, vec, vec, vec,
+            ],
+            out_specs=pl.BlockSpec(
+                (num_p, 1, WIN_ROWS, lanes),
+                lambda b, ids: (0, ids[b], 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_p, num_buckets, WIN_ROWS, lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(bucket_ids, c_uv, c_w, pa.reshape(num_blocks, block_v),
+      pb.reshape(num_blocks, block_v),
+      vre.reshape(num_blocks, block_v),
+      vim.reshape(num_blocks, block_v))
+
+
+def _degrid_fused_kernel(p_ref, g_ref, hv_ref, cuv_ref, cw_ref, pa_ref,
+                         pb_ref, *rest, inv2_ov, inv2_wov, support: int,
+                         w_support: int, n_vq: int, sub_v: int,
+                         precision_name: str):
+    quads = rest[:-1]
+    out_ref = rest[-1]
+    c_uv, c_w = cuv_ref[:], cw_ref[:]
+    lanes = n_vq * 128
+    block_v = pa_ref.shape[1]
+    precision = _PRECISIONS[precision_name]
+    bf16 = precision_name == "bf16"
+    half = w_support * WIN_ROWS
+
+    # Window assembly from the aligned (8-row, 128-lane) quadrant
+    # tiles (identical to packed_tap._degrid_fused_kernel; consecutive
+    # blocks of the same bucket re-use the resident tiles).
+    row16 = []
+    for layer in range(w_support):
+        q = [quads[2 * n_vq * layer + i] for i in range(2 * n_vq)]
+        row16.append((
+            jnp.concatenate([q[i][:, 0] for i in range(n_vq)], axis=2),
+            jnp.concatenate([q[n_vq + i][:, 0] for i in range(n_vq)],
+                            axis=2)))
+    win = jnp.concatenate(
+        [jnp.concatenate([top[ri], bot[ri]], axis=0)
+         for ri in range(2) for (top, bot) in row16], axis=0)
+    win_b = win.astype(jnp.bfloat16) if bf16 else win
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * half), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * half), 1)
+    sel = jnp.where((rows == 0) & (cols < half), 1.0,
+                    jnp.where((rows == 1) & (cols >= half), 1.0, 0.0)
+                    ).astype(jnp.float32)
+
+    for i in range(block_v // sub_v):
+        sl = pl.ds(i * sub_v, sub_v)
+        pa = pa_ref[0, sl]
+        pb = pb_ref[0, sl]
+        ub, wk, vk, iv0, valid_f = _prep_common(
+            pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support)
+        wkv = wk * valid_f                              # [Sw, n]
+        # v-band transposed (lanes on sublanes, vis on lanes) so the
+        # big contraction is a standard untransposed MXU matmul.
+        rowL = jax.lax.broadcasted_iota(jnp.int32, (lanes, sub_v), 0)
+        vbt = jnp.zeros((lanes, sub_v), jnp.float32)
+        for s in range(support):
+            vbt = jnp.where(rowL == iv0 + s, vk[s], vbt)
+        if bf16:
+            vbt = vbt.astype(jnp.bfloat16)
+        t_T = jnp.dot(win_b, vbt,
+                      preferred_element_type=jnp.float32,
+                      precision=precision)              # [2*half, n]
+        uwh = jnp.concatenate(
+            [ub * wkv[layer:layer + 1, :]
+             for layer in range(w_support)], axis=0)    # [half, n]
+        prod = jnp.concatenate([uwh, uwh], axis=0) * t_T
+        out_ref[:, sl] = jnp.dot(sel, prod,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lanes", "support", "w_support", "oversampling", "w_oversampling",
+    "block_v", "sub_v", "precision", "interpret", "raw"))
+def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
+                         uv_coeffs, w_coeffs, lanes: int, support: int,
+                         w_support: int, oversampling: int,
+                         w_oversampling: int, block_v: int = 1024,
+                         sub_v: int = 0, precision: str = "highest",
+                         interpret: bool = False,
+                         raw: bool = False) -> Array:
+    """Fused degridding with in-kernel tap evaluation.
+
+    planes: [2, P, rows_pad, lanes_pad] f32 padded plane stack (as in
+    :func:`packed_tap.degrid_fused_pallas`); p_idx/g_idx/hv_idx: [NB]
+    int32 per-block window-tile coordinates; pa/pb: [total] int32
+    packed plan words (``valid`` bit zero on padding slots); ``lanes``
+    is the window lane width (the subgrid size for w-towers).
+    Returns [total] complex64 in sorted order (or the raw [8, total]
+    f32 pair with ``raw=True``).
+    """
+    total = pa.shape[0]
+    num_blocks = total // block_v
+    n_vq = lanes // 128
+    if not sub_v:
+        sub_v = min(block_v, 512)
+    c_uv = jnp.asarray(uv_coeffs, jnp.float32)
+    c_w = jnp.asarray(w_coeffs, jnp.float32)
+
+    quad_specs = []
+    for layer in range(w_support):
+        for dg in (0, 1):
+            for dv in range(n_vq):
+                quad_specs.append(pl.BlockSpec(
+                    (2, 1, 8, 128),
+                    functools.partial(
+                        lambda b, p, g, hv, L=0, DG=0, DV=0:
+                        (0, p[b] + L, g[b] + DG, hv[b] + DV),
+                        L=layer, DG=dg, DV=dv),
+                    memory_space=pltpu.VMEM))
+
+    vec = pl.BlockSpec((1, block_v), lambda b, p, g, hv: (b, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _degrid_fused_kernel,
+            inv2_ov=np.float32(2.0 / oversampling),
+            inv2_wov=np.float32(2.0 / w_oversampling),
+            support=support, w_support=w_support, n_vq=n_vq,
+            sub_v=sub_v, precision_name=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(c_uv.shape, lambda b, p, g, hv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(c_w.shape, lambda b, p, g, hv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec, vec,
+            ] + quad_specs,
+            out_specs=pl.BlockSpec((8, block_v),
+                                   lambda b, p, g, hv: (0, b),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(p_idx, g_idx, hv_idx, c_uv, c_w,
+      pa.reshape(num_blocks, block_v), pb.reshape(num_blocks, block_v),
+      *([planes] * (2 * n_vq * w_support)))
+    if raw:
+        return out
+    return jax.lax.complex(out[0], out[1])
