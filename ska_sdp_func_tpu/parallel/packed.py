@@ -50,6 +50,12 @@ from ..grid_data.gridder_utils import (
     subgrid_add_static,
     subgrid_cut_out_static,
 )
+from ..kernels.fused_tap import (
+    degrid_fused2_pallas,
+    fused_geometry_ok,
+    grid_fused_pallas,
+    pack_plan_words,
+)
 from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
@@ -489,13 +495,19 @@ def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
 _GRIDDER_CACHE: "dict" = {}
 _GRIDDER_CACHE_MAX = 4
 
+# Default MXU precision of the fused kernels. "highest" = 6-pass f32;
+# "high" = 3-pass bf16-split with f32 accumulate (~1e-6 relative dot
+# error, inside the f32 ladder accumulation budget).
+_DEFAULT_PRECISION = "highest"
 
-def packed_gridder(pplan: PackedPlan, fast: bool = False):
+
+def packed_gridder(pplan: PackedPlan, fast: bool = False,
+                   precision: str = None):
     """Per-plan device driver (LRU-cached by the plan's content digest)."""
-    key = (pplan, fast)
+    key = (pplan, fast, precision)
     g = _GRIDDER_CACHE.pop(key, None)
     if g is None:
-        g = PackedGridder(pplan, fast=fast)
+        g = PackedGridder(pplan, fast=fast, precision=precision)
     _GRIDDER_CACHE[key] = g          # re-insert: most-recently-used
     while len(_GRIDDER_CACHE) > _GRIDDER_CACHE_MAX:
         _GRIDDER_CACHE.pop(next(iter(_GRIDDER_CACHE)))
@@ -512,11 +524,15 @@ class PackedGridder:
     gathers vanish).
     """
 
-    def __init__(self, pplan: PackedPlan, fast: bool = False):
+    def __init__(self, pplan: PackedPlan, fast: bool = False,
+                 precision: str = None):
         from ..utility.device import device_put
 
         self.pplan = pplan
         self.fast = bool(fast)
+        if precision is None:
+            precision = "bf16" if fast else _DEFAULT_PRECISION
+        self.precision = precision
         self.interpret = jax.default_backend() != "tpu"
         plan = pplan.wplan
         kernel = plan.kernel()
@@ -552,43 +568,71 @@ class PackedGridder:
         self.visited = jnp.asarray(arrays["visited"])
 
         # Compact plan upload: ship the integer oversampled kernel rows
-        # (u_frac/v_frac/w_row int32, ~12 B/slot) and evaluate the tap
-        # values ON DEVICE via the Chebyshev fits (fit error ~1e-13 vs
-        # the f64 tables, below f32 rounding) — uploading the f32
-        # uk/vk/wk arrays (80 B/slot) dominates plan-attach latency on
-        # ~30 MB/s tunnelled links and scales badly to 1e9-entry
-        # streams. Reference flags the same tap-fetch cost on its CPU
-        # path (sdp_gridder_wtower_uvw.cpp:446-450).
-        from ..grid_data.kernels import eval_kernel_taps
+        # and evaluate the tap values ON DEVICE via the Chebyshev fits
+        # (fit error ~1e-13 vs the f64 tables, below f32 rounding) —
+        # uploading the f32 uk/vk/wk arrays (80 B/slot) dominates
+        # plan-attach latency on ~30 MB/s tunnelled links and scales
+        # badly to 1e9-entry streams. Reference flags the same
+        # tap-fetch cost on its CPU path
+        # (sdp_gridder_wtower_uvw.cpp:446-450).
         from ..grid_data.wtower import _tap_coeffs_cached
 
         uv_c = _tap_coeffs_cached(plan.support, plan.oversampling)
         w_c = _tap_coeffs_cached(plan.w_support, plan.w_oversampling)
+        self._uv_c, self._w_c = uv_c, w_c
 
-        def _device_bands(u_frac, v_frac, w_row, u_off, iv0, valid):
-            uk = eval_kernel_taps(u_frac, uv_c, plan.oversampling)
-            vk = eval_kernel_taps(v_frac, uv_c, plan.oversampling)
-            wk = jnp.where(
-                valid[:, None],
-                eval_kernel_taps(w_row, w_c, plan.w_oversampling), 0.0)
-            ubase, vband, vband_t = build_bands(
-                u_off, iv0, uk, vk, plan.subgrid_size)
-            if self.fast:
-                # Opt-in fast mode: bf16 v-band streams (half the
-                # dominant per-block HBM stream; the kernels switch to
-                # single-pass bf16 MXU dots — ~2e-3 kernel accuracy).
-                vband = vband.astype(jnp.bfloat16)
-                vband_t = vband_t.astype(jnp.bfloat16)
-            # wk ships transposed [Sw, V]: both kernels consume the
-            # w-taps with the visibility on lanes, and the grid scale
-            # build avoids a per-call V-major relayout.
-            return wk.T, ubase, vband, vband_t
+        # Fused path (the round-4 default): the kernels evaluate the
+        # taps in VMEM from two bit-packed int32 words per slot — the
+        # pre-built band arrays (~600 B/slot of per-call HBM stream,
+        # the round-3 throughput floor) disappear entirely.
+        self._fused = fused_geometry_ok(
+            plan.subgrid_size, plan.support, plan.oversampling,
+            plan.w_oversampling)
+        if self._fused:
+            pa, pb = pack_plan_words(
+                arrays["iv0"].astype(np.int32),
+                arrays["u_off"].astype(np.int32),
+                arrays["w_row"].astype(np.int32),
+                arrays["u_frac"].astype(np.int32),
+                arrays["v_frac"].astype(np.int32), arrays["valid"])
+            self.pa = jnp.asarray(pa)
+            self.pb = jnp.asarray(pb)
+            self.wk_t = self.ubase = self.vband = self.vband_t = None
+            self._grid_ops = (self.pa, self.pb)
+            self._degrid_ops = (self.pa, self.pb)
+        else:
+            from ..grid_data.kernels import eval_kernel_taps
 
-        (self.wk_t, self.ubase, self.vband,
-         self.vband_t) = jax.jit(_device_bands)(
-            jnp.asarray(arrays["u_frac"]), jnp.asarray(arrays["v_frac"]),
-            jnp.asarray(arrays["w_row"]), jnp.asarray(arrays["u_off"]),
-            jnp.asarray(arrays["iv0"]), self.valid)
+            def _device_bands(u_frac, v_frac, w_row, u_off, iv0, valid):
+                uk = eval_kernel_taps(u_frac, uv_c, plan.oversampling)
+                vk = eval_kernel_taps(v_frac, uv_c, plan.oversampling)
+                wk = jnp.where(
+                    valid[:, None],
+                    eval_kernel_taps(w_row, w_c, plan.w_oversampling),
+                    0.0)
+                ubase, vband, vband_t = build_bands(
+                    u_off, iv0, uk, vk, plan.subgrid_size)
+                if self.fast:
+                    # Opt-in fast mode: bf16 v-band streams (half the
+                    # dominant per-block HBM stream; the kernels
+                    # switch to single-pass bf16 MXU dots — ~2e-3
+                    # kernel accuracy).
+                    vband = vband.astype(jnp.bfloat16)
+                    vband_t = vband_t.astype(jnp.bfloat16)
+                # wk ships transposed [Sw, V]: both kernels consume
+                # the w-taps with the visibility on lanes, and the
+                # grid scale build avoids a per-call V-major relayout.
+                return wk.T, ubase, vband, vband_t
+
+            (self.wk_t, self.ubase, self.vband,
+             self.vband_t) = jax.jit(_device_bands)(
+                jnp.asarray(arrays["u_frac"]),
+                jnp.asarray(arrays["v_frac"]),
+                jnp.asarray(arrays["w_row"]),
+                jnp.asarray(arrays["u_off"]),
+                jnp.asarray(arrays["iv0"]), self.valid)
+            self._grid_ops = (self.wk_t, self.ubase, self.vband)
+            self._degrid_ops = (self.wk_t, self.ubase, self.vband_t)
 
         # Shared w-pattern ladders + per-task prefactors (host numpy
         # c128 -> device via re/im-plane transfer; jit constants must
@@ -650,8 +694,18 @@ class PackedGridder:
     # Grid pipeline stages (composable so report_timing can measure
     # marginal device time per stage; see _grid_impl for the flow).
 
-    def _stage_kernel(self, vre, vim, wk_t, ubase, vband, block_bucket):
+    def _stage_kernel(self, vre, vim, ops, block_bucket):
         pplan = self.pplan
+        plan = pplan.wplan
+        if self._fused:
+            pa, pb = ops
+            return grid_fused_pallas(
+                block_bucket, pa, pb, vre, vim, self._uv_c, self._w_c,
+                pplan.num_buckets, plan.subgrid_size, plan.support,
+                plan.w_support, plan.oversampling, plan.w_oversampling,
+                block_v=pplan.block_v, precision=self.precision,
+                interpret=self.interpret)
+        wk_t, ubase, vband = ops
         # wk_t is pre-transposed [Sw, V]: the scale build is a pure
         # broadcast multiply in the kernel's [2*Sw, V] operand layout —
         # the [V, Sw] form needed a V-major relayout every call.
@@ -659,7 +713,7 @@ class PackedGridder:
                                   wk_t * vim[None, :]], axis=0)
         return grid_packed_pallas(
             block_bucket, ubase, vband, scales, pplan.num_buckets,
-            pplan.wplan.subgrid_size, pplan.wplan.w_support,
+            plan.subgrid_size, plan.w_support,
             block_v=pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
@@ -691,18 +745,17 @@ class PackedGridder:
         return _planes_to_image(self._kernel, planes,
                                 self._plane_offsets())
 
-    def _grid_impl(self, vre, vim, wk_t, ubase, vband, block_bucket,
+    def _grid_impl(self, vre, vim, ops, block_bucket,
                    visited, ladder, pref):
-        wins = self._stage_kernel(vre, vim, wk_t, ubase, vband,
-                                  block_bucket)
+        wins = self._stage_kernel(vre, vim, ops, block_bucket)
         layers = self._stage_fold(wins, visited)
         subgrids = self._stage_drain(layers, ladder, pref)
         return self._stage_planes(subgrids)
 
     def grid_sorted(self, vre: Array, vim: Array) -> Array:
         """Sorted-stream (re, im) f32 -> real dirty image (f32)."""
-        return self._grid_jit(vre, vim, self.wk_t, self.ubase,
-                              self.vband, self.block_bucket,
+        return self._grid_jit(vre, vim, self._grid_ops,
+                              self.block_bucket,
                               self.visited, self.ladder_grid,
                               self.pref_grid)
 
@@ -740,7 +793,7 @@ class PackedGridder:
         st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
         return st.reshape(2, num_tasks * pplan.num_layers, sgs + 8, sgs)
 
-    def _dstage_kernel(self, st, wk_t, ubase, vband_t, block_bucket):
+    def _dstage_kernel(self, st, ops, block_bucket):
         # Window tiles stream straight out of the padded layer stack
         # via the fused kernel's index maps (no dense window array, no
         # unfold pass; measured 154.7 vs 149.7 Mvis/s for the windowed
@@ -748,25 +801,32 @@ class PackedGridder:
         # intermediate).
         plan = self.pplan.wplan
         p_idx, g_idx, hv_idx = block_bucket
+        if self._fused:
+            pa, pb = ops
+            return degrid_fused2_pallas(
+                st, p_idx, g_idx, hv_idx, pa, pb, self._uv_c,
+                self._w_c, plan.subgrid_size, plan.support,
+                plan.w_support, plan.oversampling, plan.w_oversampling,
+                block_v=self.pplan.block_v, precision=self.precision,
+                interpret=self.interpret)
+        wk_t, ubase, vband_t = ops
         return degrid_fused_pallas(
             st, p_idx, g_idx, hv_idx, ubase, vband_t, wk_t,
             plan.w_support, block_v=self.pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
-    def _degrid_impl(self, image, wk_t, ubase, vband_t, block_bucket,
-                     ladder, pref):
+    def _degrid_impl(self, image, ops, block_bucket, ladder, pref):
         plane_stack = self._dstage_planes(image)
         st = self._dstage_layers(plane_stack, ladder, pref)
-        return self._dstage_kernel(st, wk_t, ubase, vband_t,
-                                   block_bucket)
+        return self._dstage_kernel(st, ops, block_bucket)
 
     def _degrid_indices(self):
         return (self.p_idx, self.g_idx, self.hv_idx)
 
     def degrid_sorted(self, image: Array) -> Array:
         """Real/complex image -> sorted-stream complex64 visibilities."""
-        return self._degrid_jit(image, self.wk_t, self.ubase,
-                                self.vband_t, self._degrid_indices(),
+        return self._degrid_jit(image, self._degrid_ops,
+                                self._degrid_indices(),
                                 self.ladder_degrid, self.pref_degrid)
 
     def degrid(self, image: Array) -> Array:
@@ -791,14 +851,12 @@ class PackedGridder:
 
         from ..utility.timers import TimerType, Timers
 
-        args = (self.wk_t, self.ubase, self.vband, self.block_bucket,
+        args = (self._grid_ops, self.block_bucket,
                 self.visited, self.ladder_grid, self.pref_grid)
 
         def upto(n):
-            def f(vre, vim, wkt, ubase, vband, bb, visited, ladder,
-                  pref):
-                wins = self._stage_kernel(vre, vim, wkt, ubase, vband,
-                                          bb)
+            def f(vre, vim, ops, bb, visited, ladder, pref):
+                wins = self._stage_kernel(vre, vim, ops, bb)
                 if n == 0:
                     return wins
                 layers = self._stage_fold(wins, visited)
@@ -860,19 +918,19 @@ class PackedGridder:
 
         from ..utility.timers import TimerType, Timers
 
-        args = (self.wk_t, self.ubase, self.vband_t,
+        args = (self._degrid_ops,
                 self._degrid_indices(), self.ladder_degrid,
                 self.pref_degrid)
 
         def upto(n):
-            def f(img, wkt, ubase, vbt, bb, ladder, pref):
+            def f(img, ops, bb, ladder, pref):
                 planes = self._dstage_planes(img)
                 if n == 0:
                     return planes
                 st = self._dstage_layers(planes, ladder, pref)
                 if n == 1:
                     return st
-                return self._dstage_kernel(st, wkt, ubase, vbt, bb)
+                return self._dstage_kernel(st, ops, bb)
             return jax.jit(f)
 
         red = jax.jit(lambda x: jnp.sum(jnp.abs(x.real))
@@ -1024,15 +1082,26 @@ class PackedGridder:
             w_offsets = self._plane_offsets()
             kernel = self._kernel
 
-            def body(vre_c, vim_c, wkt_c, ubase_c, vband_c, bb_loc_c,
+            def body(vre_c, vim_c, ops, bb_loc_c,
                      t0_c, iu_c, iv_c, pl_c, vm_c, ladder, pref_pad):
-                scales = jnp.concatenate(
-                    [wkt_c * vre_c[None, :], wkt_c * vim_c[None, :]],
-                    axis=0)
-                wins = grid_packed_pallas(
-                    bb_loc_c, ubase_c, vband_c, scales, tp * S * G,
-                    sgs, plan.w_support, block_v=pplan.block_v,
-                    fast=self.fast, interpret=self.interpret)
+                if self._fused:
+                    pa_c, pb_c = ops
+                    wins = grid_fused_pallas(
+                        bb_loc_c, pa_c, pb_c, vre_c, vim_c, self._uv_c,
+                        self._w_c, tp * S * G, sgs, plan.support,
+                        plan.w_support, plan.oversampling,
+                        plan.w_oversampling, block_v=pplan.block_v,
+                        precision=self.precision,
+                        interpret=self.interpret)
+                else:
+                    wkt_c, ubase_c, vband_c = ops
+                    scales = jnp.concatenate(
+                        [wkt_c * vre_c[None, :],
+                         wkt_c * vim_c[None, :]], axis=0)
+                    wins = grid_packed_pallas(
+                        bb_loc_c, ubase_c, vband_c, scales, tp * S * G,
+                        sgs, plan.w_support, block_v=pplan.block_v,
+                        fast=self.fast, interpret=self.interpret)
                 visited_local = jnp.zeros((tp * S * G,), bool) \
                     .at[bb_loc_c].set(True)
                 layers = _fold_windows(
@@ -1069,16 +1138,18 @@ class PackedGridder:
                 planes = jax.lax.psum(planes, axis_name)
                 return _planes_to_image(kernel, planes, w_offsets)
 
+            ops_specs = ((P(axis_name), P(axis_name)) if self._fused
+                         else (P(None, axis_name), P(None, axis_name),
+                               P(axis_name)))
             fn = jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(axis_name), P(axis_name),
-                          P(None, axis_name), P(None, axis_name),
-                          P(axis_name), P(axis_name),
+                in_specs=(P(axis_name), P(axis_name), ops_specs,
+                          P(axis_name),
                           P(axis_name), P(axis_name), P(axis_name),
                           P(axis_name), P(axis_name), P(), P()),
                 out_specs=P(), check_vma=False))
             self._sharded_cache[key] = fn
-        return fn(vre, vim, self.wk_t, self.ubase, self.vband,
+        return fn(vre, vim, self._grid_ops,
                   meta["bb_local"], meta["t0"], meta["iu_eff"],
                   meta["iv_eff"], meta["pidx"], meta["vmask"],
                   self.ladder_grid, meta["pref_g_pad"])
@@ -1106,7 +1177,7 @@ class PackedGridder:
             w_offsets = self._plane_offsets()
             kernel = self._kernel
 
-            def body(image_r, wkt_c, ubase_c, vbt_c, p_loc_c, g_c, hv_c,
+            def body(image_r, ops, p_loc_c, g_c, hv_c,
                      t0_c, iu_c, iv_c, pl_c, ladder, pref_pad):
                 # Replicated per-plane FFTs (few planes, image-sized,
                 # batched); everything per-task below runs on the
@@ -1142,20 +1213,32 @@ class PackedGridder:
                 st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8),
                                   (0, 0)))
                 st = st.reshape(2, tp * pplan.num_layers, sgs + 8, sgs)
+                if self._fused:
+                    pa_c, pb_c = ops
+                    return degrid_fused2_pallas(
+                        st, p_loc_c, g_c, hv_c, pa_c, pb_c, self._uv_c,
+                        self._w_c, sgs, plan.support, plan.w_support,
+                        plan.oversampling, plan.w_oversampling,
+                        block_v=pplan.block_v, precision=self.precision,
+                        interpret=self.interpret)
+                wkt_c, ubase_c, vbt_c = ops
                 return degrid_fused_pallas(
                     st, p_loc_c, g_c, hv_c, ubase_c, vbt_c, wkt_c,
                     plan.w_support, block_v=pplan.block_v,
                     fast=self.fast, interpret=self.interpret)
 
+            ops_specs = ((P(axis_name), P(axis_name)) if self._fused
+                         else (P(None, axis_name), P(None, axis_name),
+                               P(None, axis_name)))
             fn = jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(None, axis_name), P(None, axis_name),
-                          P(None, axis_name), P(axis_name), P(axis_name),
+                in_specs=(P(), ops_specs,
+                          P(axis_name), P(axis_name),
                           P(axis_name), P(axis_name), P(axis_name),
                           P(axis_name), P(axis_name), P(), P()),
                 out_specs=P(axis_name), check_vma=False))
             self._sharded_cache[key] = fn
-        return fn(image, self.wk_t, self.ubase, self.vband_t,
+        return fn(image, self._degrid_ops,
                   meta["p_idx_local"], self.g_idx, self.hv_idx,
                   meta["t0"], meta["iu_eff"], meta["iv_eff"],
                   meta["pidx"], self.ladder_degrid, meta["pref_d_pad"])

@@ -330,13 +330,16 @@ class _StreamEngine:
         # ~9.9 ms each in the (N+cap) placement sort at dense-chunk
         # scale (experiments/exp_stream_split.py, 2026-08-19) — the
         # two sorts are ~74% of the step. When the plan geometry fits,
-        # the five small fields ride as TWO bit-packed int32 payloads:
-        # packedA = iu0[8b] << 22 | iv0[8b] << 14 | w_row[14b],
-        # packedB = u_frac[14b] << 14 | v_frac[14b].
-        self._pack = (plan.subgrid_size - plan.support <= 255
-                      and plan.oversampling <= 16384
-                      and plan.w_oversampling <= 16384
-                      and splan.block_v % 128 == 0)
+        # the five small fields ride as TWO bit-packed int32 payloads
+        # in the fused-kernel word layout (fused_tap.pack_plan_words),
+        # and the placed words feed grid_fused/degrid_fused2 directly
+        # (no prep stage, no band arrays).
+        from ..kernels.fused_tap import fused_geometry_ok
+
+        self._pack = (fused_geometry_ok(
+            plan.subgrid_size, plan.support, plan.oversampling,
+            plan.w_oversampling) and splan.block_v % 128 == 0)
+        self.precision = "bf16" if self.fast else "highest"
 
         # Shared ladders + per-task prefactors (static task set; same
         # construction as PackedGridder, grid AND degrid directions).
@@ -493,8 +496,12 @@ class _StreamEngine:
         #     exactly the placed stream.
         N = bucket.shape[0]
         if self._pack:
-            packed_a = (iu0 << 22) | (iv0 << 14) | w_row
-            packed_b = (u_frac << 14) | v_frac
+            # fused_tap word layout; the valid bit is set on ok
+            # entries only (sentinel-bucket entries are never placed,
+            # and the place kernel zero-fills padding slots).
+            packed_a = (iv0 << 20) | ((iu0 & 7) << 17) | w_row
+            packed_b = ((ok.astype(jnp.int32) << 30)
+                        | (u_frac << 15) | v_frac)
             ops = [bucket, packed_a, packed_b]
         else:
             ops = [bucket, iu0, iv0, u_frac, v_frac, w_row]
@@ -676,22 +683,21 @@ class _StreamEngine:
             visited = visited & jnp.logical_not(overflow)
             processed = jnp.where(overflow, 0, processed)
 
-        # Fused one-pass prep: Chebyshev taps + placed bands + scale
-        # stack straight from the placed plan (the staged XLA
-        # formulation paid an HBM pass per stage, ~70 ms per dense
-        # chunk on-chip). Visibilities arrive pre-placed (sort
-        # payloads in _plan_chunk) — no permutation gather.
+        # Fused kernel: the placed packed words feed the in-kernel tap
+        # evaluation directly — the separate prep stage (an HBM
+        # round-trip of GB-scale band arrays, ~31-43 ms per dense
+        # chunk on-chip in round 3) no longer exists. Visibilities
+        # arrive pre-placed (sort payloads in _plan_chunk).
         if self._pack:
-            from ..kernels.packed_tap import (
-                stream_prep_grid_packed_pallas,
-            )
+            from ..kernels.fused_tap import grid_fused_pallas
 
-            ubase, vband, scales = stream_prep_grid_packed_pallas(
-                arrays["packed_a"], arrays["packed_b"],
+            wins = grid_fused_pallas(
+                block_bucket, arrays["packed_a"], arrays["packed_b"],
                 arrays["vre"], arrays["vim"], self._uv_c, self._w_c,
-                plan.oversampling, plan.w_oversampling, plan.support,
-                plan.w_support, plan.subgrid_size,
-                fast=self.fast, interpret=self.interpret)
+                splan.num_buckets, plan.subgrid_size, plan.support,
+                plan.w_support, plan.oversampling, plan.w_oversampling,
+                block_v=splan.block_v, precision=self.precision,
+                interpret=self.interpret)
         else:
             from ..kernels.packed_tap import stream_prep_grid_pallas
 
@@ -702,10 +708,11 @@ class _StreamEngine:
                 plan.oversampling, plan.w_oversampling, plan.support,
                 plan.w_support, plan.subgrid_size, splan.block_v,
                 fast=self.fast, interpret=self.interpret)
-        wins = grid_packed_pallas(
-            block_bucket, ubase, vband, scales, splan.num_buckets,
-            plan.subgrid_size, plan.w_support, block_v=splan.block_v,
-            fast=self.fast, interpret=self.interpret)
+            wins = grid_packed_pallas(
+                block_bucket, ubase, vband, scales, splan.num_buckets,
+                plan.subgrid_size, plan.w_support,
+                block_v=splan.block_v,
+                fast=self.fast, interpret=self.interpret)
         layers = _fold_windows(wins, visited, len(splan.tasks),
                                splan.num_slabs, splan.num_octets,
                                plan.w_support, splan.num_layers,
@@ -915,29 +922,6 @@ class _StreamEngine:
             overflow = void(overflow)
             processed = jnp.where(overflow, 0, processed)
 
-        if self._pack:
-            from ..kernels.packed_tap import (
-                stream_prep_degrid_packed_pallas,
-            )
-
-            ubase, vband_t, wk_t = stream_prep_degrid_packed_pallas(
-                arrays["packed_a"], arrays["packed_b"],
-                arrays["valid"].astype(jnp.float32),
-                self._uv_c, self._w_c,
-                plan.oversampling, plan.w_oversampling, plan.support,
-                plan.w_support, plan.subgrid_size,
-                fast=self.fast, interpret=self.interpret)
-        else:
-            from ..kernels.packed_tap import stream_prep_degrid_pallas
-
-            ubase, vband_t, wk_t = stream_prep_degrid_pallas(
-                arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
-                arrays["w_row"], arrays["valid"].astype(jnp.float32),
-                arrays["iv0"], self._uv_c, self._w_c,
-                plan.oversampling, plan.w_oversampling, plan.support,
-                plan.w_support, plan.subgrid_size, splan.block_v,
-                fast=self.fast, interpret=self.interpret)
-
         # Per-block (plane, u-octet, v-quad) tile coordinates from the
         # traced block->bucket map (PackedGridder precomputes these on
         # the host; here they are three integer ops on device).
@@ -948,10 +932,30 @@ class _StreamEngine:
         p_idx = task_b * splan.num_layers + slab
         hv_idx = jnp.zeros_like(bb)
 
-        out_raw = degrid_fused_pallas(
-            st, p_idx, octet, hv_idx, ubase, vband_t, wk_t,
-            plan.w_support, block_v=splan.block_v, fast=self.fast,
-            interpret=self.interpret, raw=True)
+        if self._pack:
+            from ..kernels.fused_tap import degrid_fused2_pallas
+
+            out_raw = degrid_fused2_pallas(
+                st, p_idx, octet, hv_idx, arrays["packed_a"],
+                arrays["packed_b"], self._uv_c, self._w_c,
+                plan.subgrid_size, plan.support, plan.w_support,
+                plan.oversampling, plan.w_oversampling,
+                block_v=splan.block_v, precision=self.precision,
+                interpret=self.interpret, raw=True)
+        else:
+            from ..kernels.packed_tap import stream_prep_degrid_pallas
+
+            ubase, vband_t, wk_t = stream_prep_degrid_pallas(
+                arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
+                arrays["w_row"], arrays["valid"].astype(jnp.float32),
+                arrays["iv0"], self._uv_c, self._w_c,
+                plan.oversampling, plan.w_oversampling, plan.support,
+                plan.w_support, plan.subgrid_size, splan.block_v,
+                fast=self.fast, interpret=self.interpret)
+            out_raw = degrid_fused_pallas(
+                st, p_idx, octet, hv_idx, ubase, vband_t, wk_t,
+                plan.w_support, block_v=splan.block_v, fast=self.fast,
+                interpret=self.interpret, raw=True)
         # Back to (row, chan) order through the sort-derived
         # entry->slot map: ONE 8-lane row-gather (rows are re/im plus
         # zero lanes; a scalar gather per component costs ~12 ns/elem,
