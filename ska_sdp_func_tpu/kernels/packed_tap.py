@@ -346,119 +346,6 @@ def stream_prep_grid_pallas(u_off, u_frac, v_frac, w_row, vre_s, vim_s,
     )(c_uv, c_w, u_off, u_frac, w_row, vre_s, vim_s, iv0c, vfc)
 
 
-def _stream_prep_grid_packed_kernel(c_uv_ref, c_w_ref, pa_ref, pb_ref,
-                                    vre_ref, vim_ref, ubase_ref,
-                                    vband_ref, scales_ref, *, inv2_ov,
-                                    inv2_wov, support: int,
-                                    w_support: int, lanes: int,
-                                    fast: bool):
-    g = pa_ref.shape[0]
-    c_uv, c_w = c_uv_ref[:], c_w_ref[:]
-    pa = pa_ref[:]
-    pb = pb_ref[:]
-    # Bit-packed plan fields (streaming.py _plan_chunk):
-    # pa = iu0[8b] << 22 | iv0[8b] << 14 | w_row[14b];
-    # pb = u_frac[14b] << 14 | v_frac[14b]. Placed invalid slots are
-    # zero-filled — their (garbage-tap) contributions vanish against
-    # the zero visibilities in `scales`.
-    iu0 = pa >> 22
-    iv0 = (pa >> 14) & 255
-    w_row = pa & 16383
-    u_off = iu0 & 7
-    u_frac = pb >> 14
-    v_frac = pb & 16383
-
-    xu = inv2_ov * u_frac.astype(jnp.float32) - 1.0         # [g]
-    uk = _clenshaw_rows(xu, c_uv)                           # [S, g]
-    xw = inv2_wov * w_row.astype(jnp.float32) - 1.0
-    wk = _clenshaw_rows(xw, c_w)                            # [Sw, g]
-
-    row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, g), 0)
-    ub = jnp.zeros((WIN_ROWS, g), jnp.float32)
-    for s in range(support):
-        ub = jnp.where(row16 == u_off + s, uk[s], ub)
-    ubase_ref[:] = ub
-
-    scales_ref[:] = jnp.concatenate(
-        [wk * vre_ref[:], wk * vim_ref[:]], axis=0)
-
-    # v-taps lane-major (same efficient Clenshaw as uk), then two
-    # SMALL in-VMEM relayouts (vk [S, g] -> [g, S]; iv0 [g] -> [g, 1])
-    # instead of [cap, 1] column operands — a lane-padded [cap, 1]
-    # stream costs a cap x 128 HBM relayout per call at step scale.
-    xv = inv2_ov * v_frac.astype(jnp.float32) - 1.0
-    vk = _clenshaw_rows(xv, c_uv)                           # [S, g]
-    vkt = vk.T                                              # [g, S]
-    iv = iv0.reshape(g, 1)                                  # [g, 1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (g, lanes), 1)
-    vb = jnp.zeros((g, lanes), jnp.float32)
-    for s in range(support):
-        vb = jnp.where(col == iv + s, vkt[:, s:s + 1], vb)
-    vband_ref[:] = vb.astype(jnp.bfloat16) if fast else vb
-
-
-def stream_prep_grid_packed_pallas(packed_a, packed_b, vre_s, vim_s,
-                                   uv_coeffs, w_coeffs,
-                                   oversampling: int,
-                                   w_oversampling: int, support: int,
-                                   w_support: int, lanes: int,
-                                   fast: bool = False,
-                                   interpret: bool = False):
-    """Bit-packed-input twin of :func:`stream_prep_grid_pallas`:
-    (placed packed_a/packed_b int32 + placed zero-masked vre/vim) ->
-    (ubase [16, cap], vband [cap, lanes], scales [2*w_support, cap]).
-
-    Moving the field unpack and the columnisation INTO the kernel
-    drops five cap-scale XLA unpack passes and two lane-padded
-    [cap, 1] HBM relayouts from the streaming chunk step (measured
-    ~50 ms of the 81 ms prep marginal at dense-chunk scale)."""
-    cap = packed_a.shape[0]
-    num_p = 2 * w_support
-    g = PREP_G
-    if cap % g:
-        raise ValueError(
-            f"stream capacity {cap} not a multiple of {g}")
-    num_g = cap // g
-    c_uv = np.asarray(uv_coeffs, np.float32)
-    c_w = np.asarray(w_coeffs, np.float32)
-    vec = pl.BlockSpec((g,), lambda b: (b,), memory_space=pltpu.VMEM)
-    cspec_uv = pl.BlockSpec(c_uv.shape, lambda b: (0, 0),
-                            memory_space=pltpu.VMEM)
-    cspec_w = pl.BlockSpec(c_w.shape, lambda b: (0, 0),
-                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(
-            _stream_prep_grid_packed_kernel,
-            inv2_ov=np.float32(2.0 / oversampling),
-            inv2_wov=np.float32(2.0 / w_oversampling),
-            support=support, w_support=w_support, lanes=lanes,
-            fast=fast),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(num_g,),
-            in_specs=[cspec_uv, cspec_w] + [vec] * 4,
-            out_specs=[
-                pl.BlockSpec((WIN_ROWS, g), lambda b: (0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, lanes), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((num_p, g), lambda b: (0, b),
-                             memory_space=pltpu.VMEM),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((WIN_ROWS, cap), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (cap, lanes),
-                jnp.bfloat16 if fast else jnp.float32),
-            jax.ShapeDtypeStruct((num_p, cap), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(c_uv, c_w, packed_a, packed_b, vre_s, vim_s)
-
-
 def _stream_prep_degrid_kernel(c_uv_ref, c_w_ref, u_off_ref,
                                u_frac_ref, v_frac_ref, w_row_ref,
                                valid_ref, iv0_ref, ubase_ref, vbt_ref,
@@ -546,98 +433,6 @@ def stream_prep_degrid_pallas(u_off, u_frac, v_frac, w_row, valid_f,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c_uv, c_w, u_off, u_frac, v_frac, w_row, valid_f, iv0)
-
-
-def _stream_prep_degrid_packed_kernel(c_uv_ref, c_w_ref, pa_ref,
-                                      pb_ref, valid_ref, ubase_ref,
-                                      vbt_ref, wkt_ref, *, inv2_ov,
-                                      inv2_wov, support: int,
-                                      w_support: int, lanes: int,
-                                      fast: bool):
-    g = pa_ref.shape[0]
-    c_uv, c_w = c_uv_ref[:], c_w_ref[:]
-    pa = pa_ref[:]
-    pb = pb_ref[:]
-    iu0 = pa >> 22
-    iv0 = (pa >> 14) & 255
-    w_row = pa & 16383
-    u_off = iu0 & 7
-    u_frac = pb >> 14
-    v_frac = pb & 16383
-
-    xu = inv2_ov * u_frac.astype(jnp.float32) - 1.0
-    uk = _clenshaw_rows(xu, c_uv)
-    xw = inv2_wov * w_row.astype(jnp.float32) - 1.0
-    wk = _clenshaw_rows(xw, c_w)
-    wkt_ref[:] = wk * valid_ref[:]
-
-    row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, g), 0)
-    ub = jnp.zeros((WIN_ROWS, g), jnp.float32)
-    for s in range(support):
-        ub = jnp.where(row16 == u_off + s, uk[s], ub)
-    ubase_ref[:] = ub
-
-    xv = inv2_ov * v_frac.astype(jnp.float32) - 1.0
-    vk = _clenshaw_rows(xv, c_uv)                      # [S, g]
-    rowL = jax.lax.broadcasted_iota(jnp.int32, (lanes, g), 0)
-    vbt = jnp.zeros((lanes, g), jnp.float32)
-    for s in range(support):
-        vbt = jnp.where(rowL == iv0 + s, vk[s], vbt)
-    vbt_ref[:] = vbt.astype(jnp.bfloat16) if fast else vbt
-
-
-def stream_prep_degrid_packed_pallas(packed_a, packed_b, valid_f,
-                                     uv_coeffs, w_coeffs,
-                                     oversampling: int,
-                                     w_oversampling: int, support: int,
-                                     w_support: int, lanes: int,
-                                     fast: bool = False,
-                                     interpret: bool = False):
-    """Bit-packed-input twin of :func:`stream_prep_degrid_pallas`
-    (same unpack-in-kernel rationale as the grid twin)."""
-    cap = packed_a.shape[0]
-    g = PREP_G
-    if cap % g:
-        raise ValueError(
-            f"stream capacity {cap} not a multiple of {g}")
-    num_g = cap // g
-    c_uv = np.asarray(uv_coeffs, np.float32)
-    c_w = np.asarray(w_coeffs, np.float32)
-    vec = pl.BlockSpec((g,), lambda b: (b,), memory_space=pltpu.VMEM)
-    cspec_uv = pl.BlockSpec(c_uv.shape, lambda b: (0, 0),
-                            memory_space=pltpu.VMEM)
-    cspec_w = pl.BlockSpec(c_w.shape, lambda b: (0, 0),
-                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(
-            _stream_prep_degrid_packed_kernel,
-            inv2_ov=np.float32(2.0 / oversampling),
-            inv2_wov=np.float32(2.0 / w_oversampling),
-            support=support, w_support=w_support, lanes=lanes,
-            fast=fast),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(num_g,),
-            in_specs=[cspec_uv, cspec_w] + [vec] * 3,
-            out_specs=[
-                pl.BlockSpec((WIN_ROWS, g), lambda b: (0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((lanes, g), lambda b: (0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((w_support, g), lambda b: (0, b),
-                             memory_space=pltpu.VMEM),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((WIN_ROWS, cap), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (lanes, cap), jnp.bfloat16 if fast else jnp.float32),
-            jax.ShapeDtypeStruct((w_support, cap), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(c_uv, c_w, packed_a, packed_b, valid_f)
 
 
 def _fold_groups_kernel(visited_ref, wins_ref, out_ref, *,

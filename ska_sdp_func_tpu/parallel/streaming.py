@@ -96,19 +96,24 @@ def stream_tasks(wplan: WStackPlan, uvw) -> np.ndarray:
     host.
 
     The quantisation here runs in **f32 with the device planner's
-    exact arithmetic** (NOT the host planner's f64): the box set must
-    contain precisely the boxes the device will assign, or a
-    visibility whose f64 and f32 quantisations straddle a box boundary
-    at the hull of the occupied set would be counted dropped and fail
-    an hours-long ingest at finalize. With identical arithmetic,
-    membership agrees by construction.
+    formula** (NOT the host planner's f64): the box set must contain
+    every box the device can assign, or a visibility whose f64 and f32
+    quantisations straddle a box boundary at the hull of the occupied
+    set would be counted dropped and fail an hours-long ingest at
+    finalize. Device backends are additionally free to CONTRACT the
+    ``x * inv + 0.5`` multiply-add into one fused rounding (LLVM
+    re-fuses even across an XLA optimization barrier), which can move
+    the coordinate one ulp across an integer — so every entry whose
+    coordinate lands within a few ulps of a box edge admits BOTH
+    neighbouring boxes (hull dilation; the extra boxes are empty in
+    the non-adversarial case and merely idle). Driven end-to-end by
+    tests/test_streaming.py::test_box_membership_fma_hull.
     """
     from ..utility.device import to_host
 
     uvw = to_host(uvw, np.float64).astype(np.float32)
-    # Reciprocal MULTIPLIES, not divisions: f32 mul/add/floor round
-    # identically on every backend, whereas a backend's f32 divide may
-    # differ by an ulp — enough to flip a box at the set's hull.
+    # Reciprocal MULTIPLIES, not divisions: a backend's f32 divide may
+    # differ by more than the one-ulp contraction neighbourhood.
     inv_d = np.float32(1.0 / wplan.eff_sg_dist)
     inv_wd = np.float32(1.0 / wplan.w_stack_dist)
     scale = ((wplan.freq0_hz + (wplan.dfreq_hz or 10.0)
@@ -116,13 +121,26 @@ def stream_tasks(wplan: WStackPlan, uvw) -> np.ndarray:
     u = (uvw[:, 0:1] * scale[None, :]).ravel()
     v = (uvw[:, 1:2] * scale[None, :]).ravel()
     w = (uvw[:, 2:3] * scale[None, :]).ravel()
-    biu = np.floor(u * inv_d + np.float32(0.5)).astype(np.int64)
-    biv = np.floor(v * inv_d + np.float32(0.5)).astype(np.int64)
-    biw = np.floor(w * inv_wd + np.float32(0.5)).astype(np.int64)
+
+    def candidates(x):
+        """Box index candidates of f32 coordinate+0.5 values: (floor,
+        floor) normally; (rint-1, rint) within the edge ulp
+        neighbourhood, covering any single-rounded contraction."""
+        lo = np.floor(x).astype(np.int64)
+        r = np.rint(x)
+        near = np.abs(x - r) <= 8 * np.spacing(
+            np.maximum(np.abs(x), np.float32(0.5)))
+        ri = r.astype(np.int64)
+        return (np.where(near, ri - 1, lo), np.where(near, ri, lo))
+
+    cu = candidates(u * inv_d + np.float32(0.5))
+    cv = candidates(v * inv_d + np.float32(0.5))
+    cw = candidates(w * inv_wd + np.float32(0.5))
     span = 1 << 20
-    key = ((biw + span // 2) * span + (biu + span // 2)) * span \
+    keys = np.unique(np.concatenate([
+        ((biw + span // 2) * span + (biu + span // 2)) * span
         + (biv + span // 2)
-    keys = np.unique(key)
+        for biw in cw for biu in cu for biv in cv]))
     return np.stack([keys // (span * span) - span // 2,
                      (keys // span) % span - span // 2,
                      keys % span - span // 2], axis=1)
@@ -423,10 +441,16 @@ class _StreamEngine:
         w = (uvw[:, 2:3] * self._scale[None, :]).ravel()
         mask = jnp.repeat(row_mask, plan.num_chan)
 
-        # Box quantisation via reciprocal multiplies — MUST stay
-        # bit-identical to stream_tasks' NumPy pass (see its
-        # docstring): f32 mul/add/floor are exactly rounded on every
-        # backend, f32 divide is not guaranteed to be.
+        # Box quantisation via reciprocal multiplies. The backend is
+        # free to contract `x * inv + 0.5` into a fused multiply-add
+        # (one rounding instead of two — LLVM re-fuses even across an
+        # XLA optimization barrier, measured on the CPU backend), so
+        # this may differ from stream_tasks' NumPy pass by one ulp at
+        # a box edge. stream_tasks therefore DILATES the host box set
+        # by the ulp-neighbourhood of every edge-straddling entry, so
+        # any single- or double-rounded device assignment stays inside
+        # the planned set (tests/test_streaming.py::
+        # test_box_membership_fma_hull drives boundary-straddling uvw).
         inv_d = np.float32(1.0 / plan.eff_sg_dist)
         inv_wd = np.float32(1.0 / plan.w_stack_dist)
         biu = jnp.floor(u * inv_d + 0.5).astype(jnp.int32)

@@ -384,3 +384,49 @@ def test_streaming_sharded_multi_axis_mesh(scenario):
     scale = np.abs(img1[m:-m, m:-m]).max()
     np.testing.assert_allclose(imgm[m:-m, m:-m], img1[m:-m, m:-m],
                                atol=2e-4 * scale)
+
+
+def test_box_membership_fma_hull():
+    """Adversarial hull-boundary agreement (round-3 verdict, weak #3):
+    visibilities whose f32 box coordinate sits within a few ulps of a
+    box edge must land in a stream_tasks box on the device backend too.
+    The f32 "identical by construction" claim is FMA-fragile — XLA may
+    contract `u * inv_d + 0.5` into one fused rounding — so
+    _plan_chunk pins the two-step rounding with an optimization
+    barrier; this drives the boundary through both paths end-to-end
+    (finalize raises on any membership disagreement)."""
+    num_chan = 1
+    # freq0 = C_0 and a single channel make scale exactly 1.0: the
+    # wavelength conversion multiplies by 1.0 (exact), so the crafted
+    # ulp placements reach the quantisation untouched.
+    probe = plan_wstack(np.asarray([[1.0, 1.0, 1.0]]), C_0, 10.0,
+                        num_chan, IMAGE_SIZE, **PARAMS)
+    d = float(probe.eff_sg_dist)
+    us = []
+    for k in (-2, -1, 0, 1, 2):
+        edge = np.float32((k - 0.5) * d)
+        lo = hi = edge
+        us.append(edge)
+        for _ in range(8):
+            lo = np.nextafter(lo, np.float32(-np.inf))
+            hi = np.nextafter(hi, np.float32(np.inf))
+            us.extend((lo, hi))
+    us = np.asarray(us, np.float64)
+    rows = us.shape[0]
+    uvw = np.zeros((rows, 3))
+    uvw[:, 0] = us
+    # Mirror the same placements on v; keep w at 0 (same formula per
+    # component).
+    uvw[:, 1] = us[::-1]
+
+    plan = plan_wstack(uvw, C_0, 10.0, num_chan, IMAGE_SIZE, **PARAMS)
+    boxes = stream_tasks(plan, uvw)
+    sp = plan_stream(plan, boxes, chunk_rows=rows, block_v=128,
+                     cap_slots=81920)
+    sg = StreamingGridder(sp)
+    vis = np.ones((rows, num_chan), np.complex64)
+    sg.accumulate(uvw, vis)
+    sg.finalize(check=True)      # raises on any dropped visibility
+    processed, dropped, voided = (int(x) for x in sg.counters())
+    assert processed == rows * num_chan
+    assert dropped == 0 and voided == 0
