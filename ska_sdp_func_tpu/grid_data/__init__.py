@@ -64,6 +64,7 @@ def __getattr__(name):
     lazy = {
         "GridderDirect": ".direct",
         "GridderUvwEsFft": ".es_fft",
+        "calculate_params_from_epsilon": ".es_params",
         "degrid_uvw_custom": ".custom",
         "wstack_wtower_grid_all": ".wstack",
         "wstack_wtower_degrid_all": ".wstack",

@@ -21,11 +21,12 @@ Algorithm (kernels at sdp_gridder_uvw_es_fft_kernels.cu):
   (sdp_generate_gauss_legendre_conv_kernel, _utils.cpp:122-175).
 
 Kernel-parameter selection: the reference picks (support, oversampling,
-beta) from a 244-entry tuned database (_utils.cpp:225-537). Here the
-standard analytic rules for sigma = 2 oversampling are used instead
-(support ~= ceil(log10(1/eps)) + 1, beta ~= 2.12 * support — Barnett et
-al. 2019, "A parallel nonuniform FFT library based on an exponential of
-semicircle kernel"), which meets the same epsilon targets.
+beta) from a 244-entry tuned database spanning sigma 1.15..2.5
+(_utils.cpp:225-537) — the grid-memory-vs-support trade. Here the same
+(support, sigma, beta) space is searched with analytically tuned
+parameters (es_params.py: aliasing-error quadrature + per-point beta
+optimisation); ``sigma=None`` minimises the padded grid size like the
+reference, a numeric ``sigma`` pins the oversampling factor.
 """
 
 import math
@@ -56,13 +57,14 @@ def _es_kernel(beta, x):
 
 
 def _params_from_epsilon(epsilon: float, image_size: int,
-                         single_precision: bool) -> Tuple[int, int, float]:
-    """(grid_size, support, beta) for oversampling sigma = 2."""
-    support = int(math.ceil(math.log10(1.0 / epsilon))) + 1
-    support = max(4, min(support, 8 if single_precision else 16))
-    beta = 2.12 * support
-    grid_size = padded_fft_size(2 * image_size)
-    return grid_size, support, beta
+                         single_precision: bool,
+                         sigma: Optional[float] = None,
+                         ) -> Tuple[int, int, float, float]:
+    """(grid_size, support, beta, sigma_eff); see es_params.py."""
+    from .es_params import calculate_params_from_epsilon
+
+    return calculate_params_from_epsilon(
+        epsilon, image_size, single_precision, sigma=sigma)
 
 
 class GridderUvwEsFft:
@@ -76,7 +78,8 @@ class GridderUvwEsFft:
     def __init__(self, uvw: Array, freq_hz: Array, vis: Array,
                  weight: Array, dirty_image: Array, pixsize_x_rad: float,
                  pixsize_y_rad: float, epsilon: float, min_abs_w: float,
-                 max_abs_w: float, do_wstacking: bool):
+                 max_abs_w: float, do_wstacking: bool,
+                 sigma: Optional[float] = None):
         if pixsize_x_rad != pixsize_y_rad:
             raise SdpInvalidArgumentError(
                 "Only square images supported (pixsize_x_rad must equal "
@@ -94,11 +97,12 @@ class GridderUvwEsFft:
         single = np.dtype(getattr(vis, "dtype", np.complex128)) \
             == np.complex64
 
-        grid_size, support, beta = _params_from_epsilon(
-            self.epsilon, self.image_size, single)
+        grid_size, support, beta, sigma_eff = _params_from_epsilon(
+            self.epsilon, self.image_size, single, sigma=sigma)
         self.grid_size = grid_size
         self.support = support
         self.beta = beta
+        self.sigma = sigma_eff
         self.uv_scale = self.grid_size * self.pixel_size
 
         if self.do_wstacking:

@@ -31,7 +31,8 @@ def data():
                 image_size=image_size, pixel_size=pixel_size)
 
 
-def _make_plan(d, do_wstacking, epsilon=1e-5, dtype=np.complex128):
+def _make_plan(d, do_wstacking, epsilon=1e-5, dtype=np.complex128,
+               sigma=None):
     vis = d["vis"].astype(dtype)
     dirty = np.zeros((d["image_size"], d["image_size"]),
                      np.real(vis).dtype)
@@ -39,7 +40,8 @@ def _make_plan(d, do_wstacking, epsilon=1e-5, dtype=np.complex128):
     return GridderUvwEsFft(
         jnp.asarray(d["uvw"]), jnp.asarray(d["freq"]), jnp.asarray(vis),
         jnp.asarray(d["weight"]), jnp.asarray(dirty), d["pixel_size"],
-        d["pixel_size"], epsilon, min_w, max_w, do_wstacking), dirty
+        d["pixel_size"], epsilon, min_w, max_w, do_wstacking,
+        sigma=sigma), dirty
 
 
 @pytest.mark.parametrize("do_wstacking", [False, True])
@@ -131,10 +133,14 @@ def test_es_fft_packed_matches_oracle(data, do_wstacking):
     vis_p = np.asarray(plan.ifft_degrid_uvw_es_fft(
         *args, jnp.asarray(image)))
 
+    # The packed path reorders every f32 accumulation and the oracle
+    # path computes screens in f64 under x64, so agreement is f32
+    # round-off scaled by the kernel width — 5e-6 of peak covers the
+    # support-8 selections; a geometry bug shows at 1e-3+.
     scale = np.abs(img_o).max()
-    np.testing.assert_allclose(img_p, img_o, atol=2e-6 * scale)
+    np.testing.assert_allclose(img_p, img_o, atol=5e-6 * scale)
     vscale = np.abs(vis_o).max()
-    np.testing.assert_allclose(vis_p, vis_o, atol=2e-6 * vscale)
+    np.testing.assert_allclose(vis_p, vis_o, atol=5e-6 * vscale)
 
 
 @pytest.mark.parametrize("do_wstacking", [False, True])
@@ -212,3 +218,103 @@ def test_es_fft_rejects_rectangular_pixels(data):
             jnp.asarray(d["uvw"]), jnp.asarray(d["freq"]),
             jnp.asarray(d["vis"]), jnp.asarray(d["weight"]),
             jnp.zeros((64, 64)), 1e-4, 2e-4, 1e-5, 0.0, 1.0, False)
+
+
+# -- variable oversampling (sigma) -------------------------------------
+# Role match: the reference's tuned kernel DB spans sigma 1.15..2.5
+# (sdp_gridder_uvw_es_fft_utils.cpp:225-537) — the grid-memory-vs-
+# support trade. The matrix below runs the RRMSE adjointness + DFT
+# accuracy checks at sigma ~= 1.25 (half the padded-grid HBM of
+# sigma = 2) and sigma = 2, per precision.
+
+# (sigma, epsilon): at sigma = 1.25 the corr-range <= 10 cut caps
+# support at 5, so the best reachable epsilon is ~3.5e-3 (es_params
+# analytic bound, conservative vs measured) — same trade the
+# reference DB records ({5, 1.25} -> 2.6e-3 measured).
+_SIGMA_CASES = [(1.25, 5e-3), (2.0, 1e-5)]
+
+
+@pytest.mark.parametrize("do_wstacking", [False, True],
+                         ids=["2d", "3d"])
+@pytest.mark.parametrize("single", [True, False], ids=["sp", "dp"])
+@pytest.mark.parametrize("sigma,eps", _SIGMA_CASES,
+                         ids=["s1.25", "s2.0"])
+def test_es_fft_sigma_matrix(data, sigma, eps, single, do_wstacking):
+    """Adjointness + DFT-oracle accuracy at pinned oversampling."""
+    d = data
+    if not single and sigma == 2.0:
+        eps = 1e-12
+    dtype = np.complex64 if single else np.complex128
+    plan, dirty0 = _make_plan(d, do_wstacking, epsilon=eps, dtype=dtype,
+                              sigma=sigma)
+    # The plan must honour the requested grid budget (padded rounding
+    # may raise the effective sigma slightly, never by more than the
+    # next smooth size).
+    assert plan.grid_size >= int(sigma * d["image_size"])
+    assert plan.sigma < sigma + 0.35
+    rng = np.random.default_rng(40)
+    image = rng.standard_normal(
+        (d["image_size"], d["image_size"])).astype(dirty0.dtype)
+    vis = d["vis"].astype(dtype)
+    weight = d["weight"].astype(dirty0.dtype)
+    uvw = d["uvw"].astype(dirty0.dtype)
+    freq = d["freq"].astype(dirty0.dtype)
+
+    gridded = plan.grid_uvw_es_fft(
+        jnp.asarray(uvw), jnp.asarray(freq), jnp.asarray(vis),
+        jnp.asarray(weight), jnp.asarray(dirty0))
+    adj1 = np.vdot(np.asarray(gridded).astype(np.float64), image)
+    predicted = plan.ifft_degrid_uvw_es_fft(
+        jnp.asarray(uvw), jnp.asarray(freq), jnp.zeros_like(vis),
+        jnp.asarray(weight), jnp.asarray(image))
+    adj2 = np.vdot(vis * weight, np.asarray(predicted)).real
+    adj_error = abs(adj1 - adj2) / max(abs(adj1), abs(adj2))
+    assert adj_error < (1e-5 if single else 1e-12)
+
+    # Accuracy vs the direct iDFT oracle must stay within the plan's
+    # requested epsilon (the analytic bound is conservative).
+    size = d["image_size"]
+    uvw_acc = d["uvw"].copy()
+    if not do_wstacking:
+        uvw_acc[:, 2] = 0.0
+    dirty = np.asarray(plan.grid_uvw_es_fft(
+        jnp.asarray(uvw_acc.astype(dirty0.dtype)), jnp.asarray(freq),
+        jnp.asarray(vis), jnp.asarray(weight), jnp.asarray(dirty0)))
+    theta = size * d["pixel_size"]
+    lmn = np.asarray(image_lmn((size, size), theta))
+    uvw_conv = uvw_acc.copy()
+    uvw_conv[:, 2] *= -1.0
+    from ska_sdp_func_tpu.grid_data import idft
+    expected = np.asarray(idft(
+        jnp.asarray(uvw_conv), jnp.asarray(d["vis"]), jnp.asarray(lmn),
+        None, None, None, 0, 0, 0, theta, 0.0, float(d["freq"][0]),
+        float(d["freq"][1] - d["freq"][0]),
+        image_shape=(size, size))).real
+    if do_wstacking:
+        expected = expected / (lmn[:, 2].reshape(size, size) + 1.0)
+    err = np.abs(dirty - expected).max() / np.abs(expected).max()
+    floor = 2e-5 if single else 0.0   # f32 accumulation round-off
+    assert err < max(eps, floor), f"rel err {err} at sigma={sigma}"
+
+
+def test_es_params_selection():
+    """calculate_params_from_epsilon: pinned sigma honoured, auto
+    selection minimises the padded grid, infeasible combos raise."""
+    from ska_sdp_func_tpu.grid_data.es_params import (
+        calculate_params_from_epsilon)
+
+    gs, support, beta, sig = calculate_params_from_epsilon(
+        1e-5, 512, True, sigma=2.0)
+    assert gs >= 1024 and support <= 8 and beta > support
+    # Auto selection must not pick a larger grid than the pinned
+    # sigma=2 plan needs.
+    gs_auto, *_ = calculate_params_from_epsilon(1e-5, 512, True)
+    assert gs_auto <= gs
+    # sigma=1.25 halves the grid (memory budget) at laxer epsilon.
+    gs_low, support_low, _, sig_low = calculate_params_from_epsilon(
+        5e-3, 512, True, sigma=1.25)
+    assert gs_low <= 0.7 * gs and sig_low < 1.4
+    # Unreachable accuracy at a pinned tight budget fails loudly
+    # (the reference silently falls back to its sigma=2 entry).
+    with pytest.raises(ValueError):
+        calculate_params_from_epsilon(1e-4, 512, True, sigma=1.25)
