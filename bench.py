@@ -93,6 +93,77 @@ IMAGE, SUBGRID = 512, 128
 THETA, W_STEP, HEIGHT = 0.002, 100.0, 4.0
 ROWS, CHANS = 16384, 64
 
+
+def _measure_rooflines(red):
+    """Chip-honest attainable-rate probes (VERDICT r3 #6).
+
+    Measures on the ATTACHED chip (not the v5p the 1 Gvis/s baseline
+    was calibrated for):
+      * ``hbm_gbps`` — streaming triad bandwidth (read+write) over a
+        192 MiB f32 buffer;
+      * ``mxu_tflops`` — f32 [2048]^3 matmul peak (the MXU speed of
+        light; in-kernel packed dots reach a fraction of it).
+    Both use the chained-loop + final-readback timing methodology
+    (PERFORMANCE.md) so tunnel memoisation/pipelining cannot inflate
+    them.
+    """
+    n = 48 * 1024 * 1024
+    x = jnp.zeros((n,), jnp.float32)
+    tri = jax.jit(lambda x: x * jnp.float32(1.0000001)
+                  + jnp.float32(1.0))
+    x = tri(x)
+    _ = float(red(x))
+    iters = 20
+    for _loop in range(2):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            x = tri(x)
+        _ = float(red(x))
+        dt = (time.perf_counter() - t0) / iters
+    hbm_gbps = 2.0 * 4.0 * n / dt / 1e9
+    del x
+
+    m = 2048
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((m, m)).astype(np.float32))
+
+    @jax.jit
+    def mm(a, y):
+        z = a @ y
+        return z * jax.lax.rsqrt(jnp.mean(z * z) + 1e-9)
+
+    y = mm(a, a)
+    _ = float(red(y[:1, :8]))
+    for _loop in range(2):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            y = mm(a, y)
+        _ = float(red(y[:1, :8]))
+        mdt = (time.perf_counter() - t0) / iters
+    mxu_tflops = 2.0 * m ** 3 / mdt / 1e12
+    return hbm_gbps, mxu_tflops
+
+
+def _attainable_mvis(pplan, w_support, num_vis, hbm_gbps, mxu_tflops):
+    """Speed-of-light Mvis/s for the fused packed kernel on this chip.
+
+    The fused kernel (kernels/fused_tap.py) moves per PADDED slot two
+    int32 plan words + two f32 visibility planes (16 B) and writes one
+    [2*w_support, 16, 128] f32 window per bucket; the dot costs
+    2 * (2*w_support*16) * 128 FLOP per padded slot.  The attainable
+    rate divides the chip's measured peaks by those per-REAL-vis costs
+    — an upper bound no formulation of this algorithm could beat on
+    the attached chip (whole-image adds folds/FFTs on top).
+    """
+    pad = pplan.total / float(num_vis)
+    win_rows = 2 * w_support * 16
+    flops_per_vis = 2.0 * win_rows * 128 * pad
+    win_bytes = pplan.num_buckets * win_rows * 128 * 4.0
+    bytes_per_vis = 16.0 * pad + win_bytes / float(num_vis)
+    t_flop = flops_per_vis / (mxu_tflops * 1e12)
+    t_mem = bytes_per_vis / (hbm_gbps * 1e9)
+    return 1e-6 / max(t_flop, t_mem)
+
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_last.json")
 
@@ -293,11 +364,24 @@ def main():
         tail = child.stderr[-400:] if child is not None else ""
         stream_err = f"{type(exc).__name__}: {tail}"
 
+    # ---- chip-honest attainable rate (VERDICT r3 #6) ----------------
+    hbm_gbps, mxu_tflops = _measure_rooflines(red)
+    att_head = _attainable_mvis(pplan, plan.w_support, num_vis,
+                                hbm_gbps, mxu_tflops)
+    att_dense = _attainable_mvis(pplan_d, plan_d.w_support, nvis_d,
+                                 hbm_gbps, mxu_tflops)
+
     _emit({
         "metric": "gridding_throughput",
         "value": round(grid_mvis, 3),
         "unit": "Mvis/s",
         "vs_baseline": round(grid_mvis / 1000.0, 4),
+        "vs_attainable": round(grid_mvis / att_head, 4),
+        "attainable_mvis_s": round(att_head, 1),
+        "dense_vs_attainable": round(dense_mvis / att_dense, 4),
+        "dense_attainable_mvis_s": round(att_dense, 1),
+        "hbm_gbps": round(hbm_gbps, 1),
+        "mxu_tflops": round(mxu_tflops, 2),
         "scenario": "whole-image 512^2, %d tasks, %d w-planes, %.2gM vis"
                     % (len(pplan.tasks), len(pplan.w_plane_ids),
                        num_vis / 1e6),
