@@ -10,7 +10,7 @@ padded grid — the grid-memory-vs-support trade SKA pipelines tune
 This implementation derives the same trade space analytically instead
 of shipping a measured table: for each (support w, sigma) it computes
 the NUFFT aliasing error of the exponential-of-semicircle kernel from
-its continuous Fourier transform and optimises beta by golden section.
+its continuous Fourier transform and optimises beta over a dense scan.
 With the kernel viewed in grid coordinates, ``psi(u) = es(u / (w/2))``
 on |u| <= w/2, its transform at frequency ``s`` (cycles per grid cell)
 is
@@ -28,13 +28,16 @@ aliasing error at s is
 and the kernel's achievable epsilon is ``max_s E(s)`` over the band
 (worst at the band edge). This is the standard windowed-NUFFT error
 estimate (Barnett et al. 2019); the resulting (support, sigma) ->
-epsilon map reproduces the shape of the reference's measured DB.
+epsilon map reproduces the shape of the reference's measured DB and is
+slightly conservative (max-over-band vs measured RMS).
 
 Selection mirrors the reference's objective: among all (support <=
 max_support, sigma in the DB's 1.15..2.5 range) meeting epsilon, keep
-per-support the smallest sigma, then pick the candidate minimising the
-padded grid size; the conv-correction dynamic range is capped at 10
-like the reference's ``K_corr_range`` cut.
+per-support the smallest sigma (found by bisection — both the aliasing
+error and the correction dynamic range improve monotonically with
+sigma at optimal beta), then pick the candidate minimising the padded
+grid size; the conv-correction dynamic range is capped at 10 like the
+reference's ``K_corr_range`` cut.
 """
 
 import math
@@ -49,6 +52,7 @@ from ..fourier_transforms.fft import padded_fft_size
 SIGMA_MIN, SIGMA_MAX, SIGMA_STEP = 1.15, 2.50, 0.05
 _N_QUAD = 512            # GL order; integrand oscillates up to ~pi*s*w
 _N_ALIAS = 8             # aliases summed (psi_hat decays fast beyond)
+_N_BAND = 17             # band sample points for the max-over-band
 _CORR_RANGE_MAX = 10.0   # reference feasibility cut (K_corr_range)
 
 
@@ -59,60 +63,63 @@ def _gl_nodes():
     return nodes[pos], weights[pos]
 
 
-def _psi_hat(support: int, beta: float, s: np.ndarray) -> np.ndarray:
-    """w * int_0^1 es(x) cos(pi s w x) dx for an array of s."""
+def _psi_hat_multi(support: int, betas: np.ndarray,
+                   s: np.ndarray) -> np.ndarray:
+    """[n_beta, n_s] of w * int_0^1 es(x) cos(pi s w x) dx."""
     x, wq = _gl_nodes()
-    ker = np.exp(beta * (np.sqrt(1.0 - x * x) - 1.0)) * wq
-    phases = np.pi * np.asarray(s, np.float64)[..., None] * support * x
-    return support * np.sum(ker * np.cos(phases), axis=-1)
+    ker = np.exp(np.asarray(betas, np.float64)[:, None]
+                 * (np.sqrt(1.0 - x * x) - 1.0)) * wq    # [nb, nq]
+    phases = np.cos(np.pi * np.asarray(s, np.float64)[:, None]
+                    * support * x)                        # [ns, nq]
+    return support * (ker @ phases.T)
+
+
+def _band_errors(support: int, sigma: float,
+                 betas: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(eps [n_beta], corr_range [n_beta]) at the given betas."""
+    s = np.linspace(0.0, 0.5 / sigma, _N_BAND)
+    m = np.arange(1, _N_ALIAS + 1, dtype=np.float64)
+    s_all = np.concatenate([s, (m[:, None] - s[None, :]).ravel(),
+                            (m[:, None] + s[None, :]).ravel()])
+    psi = _psi_hat_multi(support, betas, s_all)          # [nb, ns_all]
+    main = psi[:, :_N_BAND]
+    tails = (psi[:, _N_BAND:_N_BAND * (1 + _N_ALIAS)] ** 2
+             + psi[:, _N_BAND * (1 + _N_ALIAS):] ** 2)
+    tails = tails.reshape(len(betas), _N_ALIAS, _N_BAND).sum(axis=1)
+    eps = np.max(np.sqrt(tails) / np.abs(main), axis=1)
+    corr = main[:, 0] / np.maximum(main[:, -1], 1e-300)
+    return eps, corr
 
 
 def alias_error(support: int, sigma: float, beta: float) -> float:
     """max over the image band of the relative aliasing error E(s)."""
-    s = np.linspace(0.0, 0.5 / sigma, 17)
-    main = _psi_hat(support, beta, s)
-    m = np.arange(1, _N_ALIAS + 1, dtype=np.float64)
-    tails = _psi_hat(support, beta, m[:, None] - s[None, :]) ** 2 \
-        + _psi_hat(support, beta, m[:, None] + s[None, :]) ** 2
-    err = np.sqrt(np.sum(tails, axis=0)) / np.abs(main)
-    return float(np.max(err))
+    return float(_band_errors(support, sigma,
+                              np.array([beta]))[0][0])
 
 
 def corr_range(support: int, sigma: float, beta: float) -> float:
     """Conv-correction dynamic range C(0)/C(band edge)."""
-    edge = _psi_hat(support, beta, np.array([0.0, 0.5 / sigma]))
-    return float(edge[0] / max(edge[1], 1e-300))
+    return float(_band_errors(support, sigma,
+                              np.array([beta]))[1][0])
 
 
 @lru_cache(maxsize=None)
-def tune_beta(support: int, sigma: float) -> Tuple[float, float]:
-    """(beta, epsilon) minimising the aliasing error at (support, sigma).
+def tune_beta(support: int, sigma: float) -> Tuple[float, float, float]:
+    """(beta, epsilon, corr_range) minimising the aliasing error.
 
-    Coarse scan over beta in [0.8, 2.8] * support, then golden-section
-    refinement around the best coarse point — E(beta) has a clear
-    global basin (small beta: mainlobe aliases; large beta: truncation
-    at |x|=1) but small secondary wiggles that would trap a pure
-    golden section.
+    Two vectorised scans over beta in [0.8, 2.8] * support — E(beta)
+    has a clear global basin (small beta: mainlobe aliases; large
+    beta: truncation at |x|=1) with small secondary wiggles, so a
+    coarse scan plus a fine scan around the coarse minimum nails it.
     """
-    bs = np.linspace(0.8 * support, 2.8 * support, 41)
-    errs = [alias_error(support, sigma, float(b)) for b in bs]
-    k = int(np.argmin(errs))
-    a = float(bs[max(k - 1, 0)])
-    b = float(bs[min(k + 1, len(bs) - 1)])
-    gr = (math.sqrt(5.0) - 1.0) / 2.0
-    c, d = b - gr * (b - a), a + gr * (b - a)
-    fc, fd = alias_error(support, sigma, c), alias_error(support, sigma, d)
-    for _ in range(30):
-        if fc < fd:
-            b, d, fd = d, c, fc
-            c = b - gr * (b - a)
-            fc = alias_error(support, sigma, c)
-        else:
-            a, c, fc = c, d, fd
-            d = a + gr * (b - a)
-            fd = alias_error(support, sigma, d)
-    beta = 0.5 * (a + b)
-    return beta, alias_error(support, sigma, beta)
+    bs = np.linspace(0.8 * support, 2.8 * support, 61)
+    eps, _ = _band_errors(support, sigma, bs)
+    k = int(np.argmin(eps))
+    lo, hi = bs[max(k - 1, 0)], bs[min(k + 1, len(bs) - 1)]
+    bs2 = np.linspace(lo, hi, 33)
+    eps2, corr2 = _band_errors(support, sigma, bs2)
+    k2 = int(np.argmin(eps2))
+    return float(bs2[k2]), float(eps2[k2]), float(corr2[k2])
 
 
 def _sigma_grid():
@@ -120,11 +127,16 @@ def _sigma_grid():
     return [round(SIGMA_MIN + i * SIGMA_STEP, 2) for i in range(n)]
 
 
+def _feasible(support: int, sigma: float, epsilon: float) -> bool:
+    _, eps, corr = tune_beta(support, sigma)
+    return eps <= epsilon and corr <= _CORR_RANGE_MAX
+
+
 def calculate_params_from_epsilon(
         epsilon: float, image_size: int, single_precision: bool,
         sigma: Optional[float] = None,
 ) -> Tuple[int, int, float, float]:
-    """(grid_size, support, beta, sigma) meeting ``epsilon``.
+    """(grid_size, support, beta, sigma_eff) meeting ``epsilon``.
 
     ``sigma=None`` searches the DB's 1.15..2.5 range and picks the
     candidate minimising the padded grid size (the reference's
@@ -136,28 +148,42 @@ def calculate_params_from_epsilon(
     double / 1e-5 float; infeasible combinations surface here).
     """
     max_support = 8 if single_precision else 16
-    sigmas = _sigma_grid() if sigma is None else [float(sigma)]
-
-    best = None  # (grid_size, support, beta, sigma)
-    for w in range(4, max_support + 1):
-        for sg in sigmas:
-            beta, eps = tune_beta(w, sg)
-            if eps > epsilon:
+    best = None  # (grid_size, support, sigma)
+    if sigma is None:
+        grid = _sigma_grid()
+        for w in range(4, max_support + 1):
+            # Smallest feasible sigma by bisection: feasibility is
+            # monotone in sigma (larger sigma -> smaller aliasing
+            # error and smaller correction range at optimal beta).
+            if not _feasible(w, grid[-1], epsilon):
                 continue
-            if corr_range(w, sg, beta) > _CORR_RANGE_MAX:
-                continue
+            lo, hi = 0, len(grid) - 1
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if _feasible(w, grid[mid], epsilon):
+                    hi = mid
+                else:
+                    lo = mid + 1
+            sg = grid[lo]
             gs = padded_fft_size(int(math.ceil(image_size * sg)))
             if best is None or gs < best[0] \
                     or (gs == best[0] and w < best[1]):
-                best = (gs, w, beta, sg)
-            break  # larger sigma at this support only costs more grid
+                best = (gs, w, sg)
+    else:
+        for w in range(4, max_support + 1):
+            if _feasible(w, float(sigma), epsilon):
+                gs = padded_fft_size(int(math.ceil(image_size * sigma)))
+                best = (gs, w, float(sigma))
+                break
     if best is None:
+        lo = sigma if sigma is not None else SIGMA_MIN
+        hi = sigma if sigma is not None else SIGMA_MAX
         raise ValueError(
             f"no ES kernel (support <= {max_support}, sigma in "
-            f"{sigmas[0]}..{sigmas[-1]}) reaches epsilon={epsilon:g}")
-    gs, w, _, sg = best
+            f"{lo}..{hi}) reaches epsilon={epsilon:g}")
+    gs, w, sg = best
     # Rounding the grid up raises the effective oversampling; retune
     # beta there — strictly more accurate for the same cost.
     sigma_eff = gs / float(image_size)
-    beta, _ = tune_beta(w, round(sigma_eff, 6))
+    beta, _, _ = tune_beta(w, round(sigma_eff, 6))
     return gs, w, beta, sigma_eff

@@ -61,6 +61,7 @@ def test_bucket_partition_complete(scenario):
         assert t.size % 128 == 0
 
 
+@pytest.mark.verylong
 @pytest.mark.slow
 def test_bucketed_grid_matches_task_driver(scenario):
     s = scenario
@@ -103,6 +104,7 @@ def test_bucketed_degrid_matches_task_driver(scenario):
                                atol=1e-4 * scale)
 
 
+@pytest.mark.verylong
 @pytest.mark.slow
 def test_bucketed_sharded_matches_single(scenario):
     """The mesh-sharded bucketed grid equals the single-chip bucketed

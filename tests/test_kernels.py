@@ -124,6 +124,7 @@ def test_dense_adjointness(setup):
     assert abs(lhs - rhs) / abs(lhs) < 1e-13
 
 
+@pytest.mark.verylong
 @pytest.mark.slow
 def test_sparse_grid_interpret_matches_dense():
     """Sparse per-vis kernel (prototype) against the dense banded path."""

@@ -119,6 +119,7 @@ def test_packed_degrid_matches_task_driver(scenario):
                                atol=5e-4 * scale)
 
 
+@pytest.mark.slow
 def test_packed_sharded_matches_single(scenario):
     """8-device packed grid/degrid equal the 1-device results (the
     reference's GPU-vs-CPU consistency pattern)."""

@@ -66,7 +66,8 @@ def test_plan_has_tasks(scenario):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_dev", [1, 8])
+@pytest.mark.parametrize(
+    "n_dev", [pytest.param(1, marks=pytest.mark.verylong), 8])
 def test_sharded_grid_matches_single_chip(scenario, n_dev):
     s = scenario
     mesh = make_mesh(n_dev)
@@ -87,7 +88,8 @@ def test_sharded_grid_matches_single_chip(scenario, n_dev):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_dev", [1, 8])
+@pytest.mark.parametrize(
+    "n_dev", [pytest.param(1, marks=pytest.mark.verylong), 8])
 def test_sharded_degrid_matches_single_chip(scenario, n_dev):
     s = scenario
     mesh = make_mesh(n_dev)

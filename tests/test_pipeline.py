@@ -118,6 +118,7 @@ def test_major_cycle_recovers_sources(scenario):
     assert result.restored.shape == (IMAGE_SIZE, IMAGE_SIZE)
 
 
+@pytest.mark.verylong
 @pytest.mark.slow
 def test_major_cycle_multichip_matches_single(scenario):
     s = scenario
@@ -282,6 +283,7 @@ def test_major_cycle_msclean_extended_emission(scenario):
     assert res.peak_history[-1] < 5e-3, res.peak_history
 
 
+@pytest.mark.verylong
 @pytest.mark.slow
 def test_major_cycle_bucketed_matches(scenario):
     """The bucketed ingest path recovers the same sources (f32 path,
@@ -338,6 +340,7 @@ def test_station_beam_power_normalised():
     assert p[1] < p[0]
 
 
+@pytest.mark.verylong
 @pytest.mark.slow
 def test_solver_verbosity_stage_report(scenario):
     """verbosity>0 logs the per-stage Timers report (the reference
@@ -416,6 +419,7 @@ def test_fista_imager_recovers_sources(scenario_packed):
     assert res.residual_norm[-1] < 0.2 * res.residual_norm[0]
 
 
+@pytest.mark.verylong
 @pytest.mark.slow
 def test_fista_sharded_matches_single(scenario_packed):
     """FISTA through the block-sharded packed drivers == single-chip."""
