@@ -52,7 +52,11 @@ def measure_one(cfg):
                        SUBGRID, THETA, W_STEP, support=8, w_support=4,
                        w_tower_height=HEIGHT)
     pplan = plan_packed(plan, uvw, block_v=bv)
-    g = packed_gridder(pplan, fast=(cfg["prec"] == "bf16"))
+    # The streamed-band baselines need the round-3 band engine (the
+    # fused default no longer builds wk_t/ubase/vband).
+    banded = cfg["kind"] == "grid_stream" or cfg["prec"] == "stream"
+    g = packed_gridder(pplan, fast=(cfg["prec"] == "bf16"),
+                       engine="bands" if banded else "fused")
     red = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
     fb = jax.jit(lambda v, s: v * (jnp.float32(1.0)
                                    + jnp.float32(1e-6) * jnp.tanh(s)))

@@ -115,50 +115,25 @@ def main():
     plan_fn = jax.jit(lambda uvw, m, re, im: eng._plan_chunk(
         uvw, m, re, im, sp.cap, sp.num_blocks)[:1])
 
-    def prep_from_plan(uvw, m, re, im):
-        from ska_sdp_func_tpu.kernels.packed_tap import (
-            stream_prep_grid_pallas,
-        )
-        arrays = eng._plan_chunk(uvw, m, re, im, sp.cap,
-                                 sp.num_blocks)[0]
-        wplan = sp.wplan
-        return stream_prep_grid_pallas(
-            arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
-            arrays["w_row"], arrays["vre"], arrays["vim"],
-            arrays["iv0"], eng._uv_c, eng._w_c,
-            wplan.oversampling, wplan.w_oversampling, wplan.support,
-            wplan.w_support, wplan.subgrid_size, sp.block_v,
-            interpret=CHECK)
-
-    prep_fn = jax.jit(prep_from_plan)
-
     def kern_from_plan(uvw, m, re, im):
-        from ska_sdp_func_tpu.kernels.packed_tap import (
-            grid_packed_pallas,
-            stream_prep_grid_pallas,
-        )
+        # Production fused form (streaming._planes_core): placed packed
+        # words feed the in-kernel tap evaluation — no prep stage.
+        from ska_sdp_func_tpu.kernels.fused_tap import grid_fused_pallas
         (arrays, _d, block_bucket, _v, _p, _dr,
          _o) = eng._plan_chunk(uvw, m, re, im, sp.cap, sp.num_blocks)
         wplan = sp.wplan
-        ubase, vband, scales = stream_prep_grid_pallas(
-            arrays["u_off"], arrays["u_frac"], arrays["v_frac"],
-            arrays["w_row"], arrays["vre"], arrays["vim"],
-            arrays["iv0"], eng._uv_c, eng._w_c,
-            wplan.oversampling, wplan.w_oversampling, wplan.support,
-            wplan.w_support, wplan.subgrid_size, sp.block_v,
-            interpret=CHECK)
-        return grid_packed_pallas(
-            block_bucket, ubase, vband, scales, sp.num_buckets,
-            wplan.subgrid_size, wplan.w_support, block_v=sp.block_v,
-            interpret=CHECK)
+        return grid_fused_pallas(
+            block_bucket, arrays["packed_a"], arrays["packed_b"],
+            arrays["vre"], arrays["vim"], eng._uv_c, eng._w_c,
+            sp.num_buckets, wplan.subgrid_size, wplan.support,
+            wplan.w_support, wplan.oversampling, wplan.w_oversampling,
+            block_v=sp.block_v, interpret=CHECK)
 
     kern_fn = jax.jit(kern_from_plan)
 
     t_plan = _timed("plan", lambda: plan_fn(
         state["uvw"], state["mask"], state["vre"], state["vim"]), feed)
-    t_prep = _timed("plan+prep", lambda: prep_fn(
-        state["uvw"], state["mask"], state["vre"], state["vim"]), feed)
-    t_kern = _timed("plan+prep+kernel", lambda: kern_fn(
+    t_kern = _timed("plan+kernel", lambda: kern_fn(
         state["uvw"], state["mask"], state["vre"], state["vim"]), feed)
 
     img_state = {"img": jnp.zeros((image, image), jnp.float32),
@@ -176,8 +151,7 @@ def main():
 
     t_step = _timed("step (full)", step, feed)
     if not CHECK:
-        print(f"  marginals: prep {1e3 * (t_prep - t_plan):.1f} ms, "
-              f"kernel {1e3 * (t_kern - t_prep):.1f} ms, "
+        print(f"  marginals: kernel {1e3 * (t_kern - t_plan):.1f} ms, "
               f"fold/FFT/image {1e3 * (t_step - t_kern):.1f} ms",
               flush=True)
 

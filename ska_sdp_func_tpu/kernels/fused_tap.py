@@ -202,7 +202,12 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
         sub_v = min(block_v, 512)
     c_uv = jnp.asarray(uv_coeffs, jnp.float32)
     c_w = jnp.asarray(w_coeffs, jnp.float32)
-    vec = pl.BlockSpec((1, block_v), lambda b, ids: (b, 0),
+    # Streams are presented [1, total] and blocked along the LAST dim:
+    # Mosaic requires the block's last two dims to divide (8, 128) or
+    # equal the array dims — (1, block_v) over [1, total] satisfies
+    # both; the (num_blocks, block_v) form does not (block dim -2 of 1
+    # neither divides 8 nor equals num_blocks).
+    vec = pl.BlockSpec((1, block_v), lambda b, ids: (0, b),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(
@@ -231,10 +236,9 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(bucket_ids, c_uv, c_w, pa.reshape(num_blocks, block_v),
-      pb.reshape(num_blocks, block_v),
-      vre.reshape(num_blocks, block_v),
-      vim.reshape(num_blocks, block_v))
+    )(bucket_ids, c_uv, c_w, pa.reshape(1, total),
+      pb.reshape(1, total), vre.reshape(1, total),
+      vim.reshape(1, total))
 
 
 def _degrid_fused_kernel(p_ref, g_ref, hv_ref, cuv_ref, cw_ref, pa_ref,
@@ -338,7 +342,10 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
                         L=layer, DG=dg, DV=dv),
                     memory_space=pltpu.VMEM))
 
-    vec = pl.BlockSpec((1, block_v), lambda b, p, g, hv: (b, 0),
+    # [1, total] streams blocked along the last dim (see
+    # grid_fused_pallas: the (num_blocks, block_v) form fails the
+    # Mosaic block-shape rule).
+    vec = pl.BlockSpec((1, block_v), lambda b, p, g, hv: (0, b),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
@@ -366,7 +373,7 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(p_idx, g_idx, hv_idx, c_uv, c_w,
-      pa.reshape(num_blocks, block_v), pb.reshape(num_blocks, block_v),
+      pa.reshape(1, total), pb.reshape(1, total),
       *([planes] * (2 * n_vq * w_support)))
     if raw:
         return out

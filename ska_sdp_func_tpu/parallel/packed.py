@@ -502,12 +502,13 @@ _DEFAULT_PRECISION = "highest"
 
 
 def packed_gridder(pplan: PackedPlan, fast: bool = False,
-                   precision: str = None):
+                   precision: str = None, engine: str = "fused"):
     """Per-plan device driver (LRU-cached by the plan's content digest)."""
-    key = (pplan, fast, precision)
+    key = (pplan, fast, precision, engine)
     g = _GRIDDER_CACHE.pop(key, None)
     if g is None:
-        g = PackedGridder(pplan, fast=fast, precision=precision)
+        g = PackedGridder(pplan, fast=fast, precision=precision,
+                          engine=engine)
     _GRIDDER_CACHE[key] = g          # re-insert: most-recently-used
     while len(_GRIDDER_CACHE) > _GRIDDER_CACHE_MAX:
         _GRIDDER_CACHE.pop(next(iter(_GRIDDER_CACHE)))
@@ -525,7 +526,10 @@ class PackedGridder:
     """
 
     def __init__(self, pplan: PackedPlan, fast: bool = False,
-                 precision: str = None):
+                 precision: str = None, engine: str = "fused"):
+        # engine="bands" forces the round-3 streamed-band kernels (the
+        # fallback for non-packable geometry) — kept selectable for
+        # benchmarking the fused-vs-banded formulations.
         from ..utility.device import device_put
 
         self.pplan = pplan
@@ -585,7 +589,7 @@ class PackedGridder:
         # taps in VMEM from two bit-packed int32 words per slot — the
         # pre-built band arrays (~600 B/slot of per-call HBM stream,
         # the round-3 throughput floor) disappear entirely.
-        self._fused = fused_geometry_ok(
+        self._fused = engine != "bands" and fused_geometry_ok(
             plan.subgrid_size, plan.support, plan.oversampling,
             plan.w_oversampling)
         if self._fused:
