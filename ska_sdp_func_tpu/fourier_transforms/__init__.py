@@ -21,6 +21,8 @@ __all__ = [
     "padded_fft_size",
     "pswf_coefficients",
     "pswf_evaluate",
+    # lazy (PEP 562) export resolves in __getattr__ below
+    "Swiftly",
 ]
 
 

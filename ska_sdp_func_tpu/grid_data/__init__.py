@@ -31,7 +31,17 @@ from .kernels import lm_to_n, make_kernel, make_pswf_kernel, make_w_pattern
 from .wtower import GridderWtowerUVW
 
 __all__ = [
+    # lazy (PEP 562) exports resolve in __getattr__ below
+    "GridderDirect",
+    "GridderUvwEsFft",
     "GridderWtowerUVW",
+    "calculate_params_from_epsilon",
+    "degrid_uvw_custom",
+    "determine_max_w_tower_height",
+    "find_max_w_tower_height",
+    "worst_case_image",
+    "wstack_wtower_degrid_all",
+    "wstack_wtower_grid_all",
     "accumulate_scaled_arrays",
     "clamp_channels_inline",
     "clamp_channels_single",

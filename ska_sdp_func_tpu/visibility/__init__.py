@@ -8,6 +8,16 @@ __all__ = [
     "dft_point_v01",
     "phase_rotate_uvw",
     "phase_rotate_vis",
+    # lazy (PEP 562) exports resolve in __getattr__ below
+    "briggs_weights",
+    "bucket_sort",
+    "count_and_prefix_sum",
+    "flagger_dynamic_threshold",
+    "get_uv_range",
+    "optimised_indexed_weighting",
+    "optimized_weighting",
+    "tiled_indexing",
+    "uniform_weights",
 ]
 
 
