@@ -113,7 +113,7 @@ def main():
     # Stage prefixes (each its own jit; the feed perturbs uvw so the
     # geometry/sorts re-run every iteration).
     plan_fn = jax.jit(lambda uvw, m, re, im: eng._plan_chunk(
-        uvw, m, re, im, sp.cap, sp.num_blocks)[:1])
+        uvw, m, re, im, sp.cap, sp.num_blocks, need_unsort=False)[:1])
 
     def kern_from_plan(uvw, m, re, im):
         # Production fused form (streaming._planes_core): placed packed
@@ -130,6 +130,37 @@ def main():
             block_v=sp.block_v, interpret=CHECK)
 
     kern_fn = jax.jit(kern_from_plan)
+
+    # Attribution stages: geometry+LUT alone (the part of _plan_chunk
+    # before the key sort), and the production 5-operand key sort on
+    # real geometry (bucket + packed words + vis planes).
+    def geom_only(uvw, m, re, im):
+        import jax.numpy as jnp
+        eng_ = eng
+        plan_ = sp.wplan
+        d = np.float32(plan_.eff_sg_dist)
+        u = (uvw[:, 0:1] * eng_._scale[None, :]).ravel()
+        v = (uvw[:, 1:2] * eng_._scale[None, :]).ravel()
+        w = (uvw[:, 2:3] * eng_._scale[None, :]).ravel()
+        inv_d = np.float32(1.0 / plan_.eff_sg_dist)
+        inv_wd = np.float32(1.0 / plan_.w_stack_dist)
+        biu = jnp.floor(u * inv_d + 0.5).astype(jnp.int32)
+        biv = jnp.floor(v * inv_d + 0.5).astype(jnp.int32)
+        biw = jnp.floor(w * inv_wd + 0.5).astype(jnp.int32)
+        b0, nb3 = sp.consts["b0"], sp.consts["nb3"]
+        i0, i1, i2 = biw - b0[0], biu - b0[1], biv - b0[2]
+        inb = ((i0 >= 0) & (i0 < nb3[0]) & (i1 >= 0) & (i1 < nb3[1])
+               & (i2 >= 0) & (i2 < nb3[2]))
+        li = (i0 * nb3[1] + i1) * nb3[2] + i2
+        li = jnp.clip(li, 0, eng_._lut.shape[0] - 1)
+        row = eng_._lut2[li]
+        task = jnp.where(inb, row[:, 0], -1)
+        return task, u - biu.astype(jnp.float32) * d, re, im
+
+    geom_fn = jax.jit(geom_only)
+
+    t_geom = _timed("geometry+LUT", lambda: geom_fn(
+        state["uvw"], state["mask"], state["vre"], state["vim"]), feed)
 
     t_plan = _timed("plan", lambda: plan_fn(
         state["uvw"], state["mask"], state["vre"], state["vim"]), feed)
