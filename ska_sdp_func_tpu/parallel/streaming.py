@@ -83,6 +83,10 @@ from .wstack import WStackPlan
 
 Array = jax.Array
 
+# Lattice size up to which the one-hot-matmul LUT beats the gather
+# (one-hot HBM traffic = nlat * 4 B/entry vs ~12 ns/entry gather).
+_LUT_ONEHOT_MAX = 1024
+
 _ETA = 1e-5   # tower-range guard, mirrors plan_packed / plan_wstack
 
 
@@ -386,6 +390,16 @@ class _StreamEngine:
         self._lut = jnp.asarray(c["lut"])
         self._lut2 = (jnp.asarray(c["lut2"])
                       if c.get("lut2") is not None else None)
+        # One-hot-matmul lookup table (f32; all values are small ints,
+        # exact): a TPU gather costs ~12 ns per INDEX (~30 ms for the
+        # fused row at dense-chunk scale, exp_gather.py) while the
+        # equivalent [N, nlat] @ [nlat, 8] one-hot product is HBM-
+        # bound on the one-hot operand — nlat * 4 B per entry, ~2 ms
+        # at nlat <= 1024. Beyond that the gather wins; keep both.
+        self._lut2_oh = None
+        if (c.get("lut2") is not None
+                and c["lut2"].shape[0] <= _LUT_ONEHOT_MAX):
+            self._lut2_oh = jnp.asarray(c["lut2"].astype(np.float32))
         self._first_t = jnp.asarray(c["first_t"])
         self._off_w = jnp.asarray(c["off_w"])
         self._num_planes_t = jnp.asarray(c["num_planes_t"])
@@ -462,7 +476,21 @@ class _StreamEngine:
                & (i2 >= 0) & (i2 < nb3[2]))
         li = (i0 * nb3[1] + i1) * nb3[2] + i2
         li = jnp.clip(li, 0, self._lut.shape[0] - 1)
-        if self._lut2 is not None:
+        if self._lut2_oh is not None:
+            # One-hot matmul lookup: one [N, nlat] @ [nlat, 8] product
+            # replaces the row-gather (~30 ms -> ~2 ms at dense-chunk
+            # scale; see engine __init__). HIGHEST precision keeps the
+            # f32 passes exact for the integer-valued table.
+            oh = (li[:, None] == jnp.arange(
+                self._lut2_oh.shape[0], dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            row_f = jax.lax.dot(oh, self._lut2_oh,
+                                precision=jax.lax.Precision.HIGHEST)
+            task = jnp.where(inb, row_f[:, 0].astype(jnp.int32), -1)
+            first_e = row_f[:, 1].astype(jnp.int32)
+            nplanes_e = row_f[:, 2].astype(jnp.int32)
+            off_w_e = row_f[:, 3]
+        elif self._lut2 is not None:
             # One 8-lane row-gather for all four task attributes (a
             # scalar gather costs ~12 ns per INDEX on TPU, so four
             # separate lookups at chunk scale are ~4x the price).
