@@ -30,10 +30,16 @@ the independent chains onto the two units).
 
 Precision modes (``precision=``):
 
-* ``"highest"`` — f32 operands, 6-pass MXU (reference-accuracy path);
-* ``"high"``    — f32 operands, 3-pass bf16-split MXU with f32
-  accumulate (~1e-6 relative dot error — inside the f32 ladder
-  accumulation budget, measured ~2x the HIGHEST pass rate);
+* ``"highest"`` — f32 operands, multi-pass MXU (reference-accuracy
+  path);
+* ``"high"``    — MANUAL bf16 hi/lo operand split + three single-pass
+  bf16 MXU dots with f32 accumulate (``a_hi@b_hi + a_hi@b_lo +
+  a_lo@b_hi``; the dropped ``lo@lo`` term is O(2^-32)).  Mosaic's
+  Pallas lowering rejects ``jax.lax.Precision.HIGH`` outright
+  (NotImplementedError, measured on-chip 2026-08-20), so the split is
+  spelled out as explicit dots.  Operand representation is ~16
+  mantissa bits => ~1e-5 relative dot error — an order below the f32
+  path's own 2.5e-4-of-peak oracle envelope;
 * ``"bf16"``    — bf16 operands, single-pass MXU (~2e-3 kernel
   accuracy; the opt-in ``fast=True`` mode).
 
@@ -62,11 +68,33 @@ MAX_IV0 = 2047
 MAX_OVERSAMPLING = 32768
 MAX_W_OVERSAMPLING = 131072
 
-_PRECISIONS = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "bf16": jax.lax.Precision.DEFAULT,
-}
+_PRECISIONS = ("highest", "high", "bf16")
+
+
+def _split_hi_lo(x):
+    """bf16 hi/lo decomposition: ``x ~ hi + lo`` with ~16 mantissa
+    bits of joint precision (each half rides a single-pass MXU dot)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_prec(a, b, precision_name: str):
+    """f32 [M, K] @ [K, N] at one of the three fused precision modes
+    (module docstring); always f32 accumulate/output."""
+    if precision_name == "bf16":
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    if precision_name == "high":
+        a_hi, a_lo = _split_hi_lo(a)
+        b_hi, b_lo = _split_hi_lo(b)
+        d = functools.partial(jnp.dot,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+        return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def fused_geometry_ok(subgrid_size: int, support: int,
@@ -133,8 +161,6 @@ def _grid_fused_kernel(bucket_ref, cuv_ref, cw_ref, pa_ref, pb_ref,
     c_uv, c_w = cuv_ref[:], cw_ref[:]
     num_p = 2 * w_support
     block_v = pa_ref.shape[1]
-    precision = _PRECISIONS[precision_name]
-    bf16 = precision_name == "bf16"
 
     contrib = jnp.zeros((num_p * WIN_ROWS, lanes), jnp.float32)
     # Sub-block chunks: independent VPU prep / MXU dot chains that
@@ -160,12 +186,7 @@ def _grid_fused_kernel(bucket_ref, cuv_ref, cw_ref, pa_ref, pb_ref,
         vb = jnp.zeros((sub_v, lanes), jnp.float32)
         for s in range(support):
             vb = jnp.where(col == iv + s, vkt[:, s:s + 1], vb)
-        if bf16:
-            u_all = u_all.astype(jnp.bfloat16)
-            vb = vb.astype(jnp.bfloat16)
-        contrib = contrib + jnp.dot(
-            u_all, vb, preferred_element_type=jnp.float32,
-            precision=precision)
+        contrib = contrib + _dot_prec(u_all, vb, precision_name)
     contrib = contrib.reshape(num_p, WIN_ROWS, lanes)
 
     @pl.when(first)
@@ -250,7 +271,6 @@ def _degrid_fused_kernel(p_ref, g_ref, hv_ref, cuv_ref, cw_ref, pa_ref,
     c_uv, c_w = cuv_ref[:], cw_ref[:]
     lanes = n_vq * 128
     block_v = pa_ref.shape[1]
-    precision = _PRECISIONS[precision_name]
     bf16 = precision_name == "bf16"
     half = w_support * WIN_ROWS
 
@@ -267,7 +287,12 @@ def _degrid_fused_kernel(p_ref, g_ref, hv_ref, cuv_ref, cw_ref, pa_ref,
     win = jnp.concatenate(
         [jnp.concatenate([top[ri], bot[ri]], axis=0)
          for ri in range(2) for (top, bot) in row16], axis=0)
-    win_b = win.astype(jnp.bfloat16) if bf16 else win
+    # Hoist the window's (bf16 / hi-lo split) form out of the sub-chunk
+    # loop — the resident tiles are shared by every sub-chunk.
+    if precision_name == "high":
+        win_hi, win_lo = _split_hi_lo(win)
+    elif bf16:
+        win_b = win.astype(jnp.bfloat16)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * half), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * half), 1)
@@ -288,11 +313,20 @@ def _degrid_fused_kernel(p_ref, g_ref, hv_ref, cuv_ref, cw_ref, pa_ref,
         vbt = jnp.zeros((lanes, sub_v), jnp.float32)
         for s in range(support):
             vbt = jnp.where(rowL == iv0 + s, vk[s], vbt)
-        if bf16:
-            vbt = vbt.astype(jnp.bfloat16)
-        t_T = jnp.dot(win_b, vbt,
-                      preferred_element_type=jnp.float32,
-                      precision=precision)              # [2*half, n]
+        d = functools.partial(jnp.dot,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+        if precision_name == "high":
+            v_hi, v_lo = _split_hi_lo(vbt)
+            t_T = (d(win_hi, v_hi)
+                   + (d(win_hi, v_lo) + d(win_lo, v_hi)))
+        elif bf16:
+            t_T = d(win_b, vbt.astype(jnp.bfloat16))
+        else:
+            t_T = jnp.dot(win, vbt,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        # t_T: [2*half, n]
         uwh = jnp.concatenate(
             [ub * wkv[layer:layer + 1, :]
              for layer in range(w_support)], axis=0)    # [half, n]

@@ -495,14 +495,25 @@ def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
 _GRIDDER_CACHE: "dict" = {}
 _GRIDDER_CACHE_MAX = 4
 
-# Default MXU precision of the fused kernels. "highest" = 6-pass f32;
-# "high" = 3-pass bf16-split with f32 accumulate (~1e-6 relative dot
-# error, inside the f32 ladder accumulation budget).
+# Default MXU precision of the fused kernels. "highest" = multi-pass
+# f32; "high" = manual bf16 hi/lo split, three single-pass dots with
+# f32 accumulate (~1e-6 taper-weighted image error, measured).
 _DEFAULT_PRECISION = "highest"
+
+# Default engine. The streamed-band kernels measure 397.7 f32 / 601.5
+# bf16 Mvis/s on the dense 4.2M-vis stream at HEAD (2026-08-20 on-chip
+# sweep) — HBM-bound at ~239 GB/s of the chip's 238 GB/s measured
+# triad — while the fused in-kernel-tap kernels measure 193.7 / 289.2:
+# their VPU tap build serializes with the MXU dot. For plan-once
+# solvers the bands are built once per plan, so the band stream is the
+# right default; the fused engine wins only where the bands would be
+# rebuilt every call (the streaming device plan, which selects it
+# explicitly).
+_DEFAULT_ENGINE = "bands"
 
 
 def packed_gridder(pplan: PackedPlan, fast: bool = False,
-                   precision: str = None, engine: str = "fused"):
+                   precision: str = None, engine: str = None):
     """Per-plan device driver (LRU-cached by the plan's content digest)."""
     key = (pplan, fast, precision, engine)
     g = _GRIDDER_CACHE.pop(key, None)
@@ -526,14 +537,17 @@ class PackedGridder:
     """
 
     def __init__(self, pplan: PackedPlan, fast: bool = False,
-                 precision: str = None, engine: str = "fused"):
-        # engine="bands" forces the round-3 streamed-band kernels (the
-        # fallback for non-packable geometry) — kept selectable for
-        # benchmarking the fused-vs-banded formulations.
+                 precision: str = None, engine: str = None):
+        # engine=None -> _DEFAULT_ENGINE ("bands": HBM-bound streamed
+        # band kernels, the measured dense winner for plan-once
+        # solvers); engine="fused" selects the in-kernel-tap kernels
+        # (16 B/slot streams — the streaming-ingest engine).
         from ..utility.device import device_put
 
         self.pplan = pplan
         self.fast = bool(fast)
+        if engine is None:
+            engine = _DEFAULT_ENGINE
         if precision is None:
             precision = "bf16" if fast else _DEFAULT_PRECISION
         self.precision = precision

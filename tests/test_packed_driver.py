@@ -340,6 +340,35 @@ def test_packed_fast_mode_accuracy(scenario):
     np.testing.assert_allclose(vis_f, vis_e, atol=5e-3 * vscale)
 
 
+def test_packed_high_precision_accuracy(scenario):
+    """precision="high" (manual bf16 hi/lo split, three single-pass
+    MXU dots with f32 accumulate — Mosaic rejects lax.Precision.HIGH)
+    stays within 1e-5 of the HIGHEST driver on grid AND degrid, in the
+    taper-weighted domain (see test_packed_fast_mode_accuracy for why
+    the 1/PSWF-corrected border is excluded). Round-4 verdict target:
+    f32-grade accuracy at a fraction of the multi-pass dot cost."""
+    s = scenario
+    g_exact = packed_gridder(s["pplan"], precision="highest")
+    g_high = packed_gridder(s["pplan"], precision="high")
+
+    vre, vim = g_exact.sort(jnp.asarray(s["vis"]))
+    img_e = np.asarray(g_exact.grid_sorted(vre, vim))
+    img_h = np.asarray(g_high.grid_sorted(vre, vim))
+    kern = s["plan"].kernel()
+    taper = 1.0 / np.asarray(kern.grid_correct(
+        jnp.ones((IMAGE_SIZE, IMAGE_SIZE), jnp.float32)))
+    scale = float(np.abs(img_e * taper).max())
+    assert np.abs((img_h - img_e) * taper).max() < 1e-5 * scale
+
+    image = np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float32)
+    image[IMAGE_SIZE // 2 + 12, IMAGE_SIZE // 2 - 9] = 1.0
+    image[IMAGE_SIZE // 2 - 20, IMAGE_SIZE // 2 + 15] = 0.5
+    vis_e = np.asarray(g_exact.degrid_sorted(jnp.asarray(image)))
+    vis_h = np.asarray(g_high.degrid_sorted(jnp.asarray(image)))
+    vscale = float(np.abs(vis_e).max())
+    np.testing.assert_allclose(vis_h, vis_e, atol=1e-5 * vscale)
+
+
 @pytest.mark.slow
 def test_major_cycle_packed_fast_converges(scenario):
     """fast=True (bf16 kernels) still converges: the major loop's
