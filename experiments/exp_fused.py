@@ -95,8 +95,13 @@ def measure_one(cfg):
                                  arr["valid"])
         pa, pb = jnp.asarray(pa), jnp.asarray(pb)
         model = jnp.zeros((IMAGE, IMAGE), jnp.float32).at[300, 200].set(1.0)
-        st = jax.jit(lambda im: g._dstage_layers(
-            g._dstage_planes(im), g.ladder_degrid, g.pref_degrid))(model)
+        # ladder/pref must ride as jit ARGUMENTS: a complex device
+        # array captured as a closure constant lowers via a complex
+        # D2H of its value, which the tunnel rejects (UNIMPLEMENTED)
+        # — this killed every degrid variant of the 2026-08-20 sweep.
+        st = jax.jit(lambda im, lad, pref: g._dstage_layers(
+            g._dstage_planes(im), lad, pref))(
+                model, g.ladder_degrid, g.pref_degrid)
         st = jax.block_until_ready(st)
         p_idx, g_idx, hv_idx = g._degrid_indices()
 

@@ -130,20 +130,57 @@ def _unpack_words(pa, pb):
     return iv0, u_off, w_row, u_frac, v_frac, valid
 
 
+def _cheb_basis(x, degree: int):
+    """Chebyshev basis rows T_0..T_degree of x [n] -> [degree+1, n].
+
+    The recurrence costs ~2 VPU ops per degree per entry on ONE
+    sublane row — the per-support Clenshaw form pays the same
+    recurrence broadcast over all ``support`` sublanes (~12x more
+    lane-ops).  The coefficient contraction then rides the MXU.
+    """
+    rows = [jnp.ones_like(x), x]
+    for _ in range(degree - 1):
+        rows.append(2.0 * x * rows[-1] - rows[-2])
+    return jnp.stack(rows[:degree + 1])
+
+
 def _prep_common(pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support):
     """Shared per-chunk prep: unpack + Chebyshev taps + u-base band.
 
-    Returns (ubase [16, n], uk-free, wk [Sw, n], vk [S, n], iv0,
-    valid_f [n]).
+    Returns (ubase [16, n], wk [Sw, n], vk [S, n], iv0, valid_f [n]).
+
+    Tap evaluation (round-4 v2): the three Chebyshev bases (xu, xv,
+    xw) stack into one [3*(deg+1), n] operand and ALL taps come from
+    a single block-diagonal MXU dot ``[2S+Sw, 3*(deg+1)] @ basis`` —
+    the per-support Clenshaw recurrences cost ~800 VPU lane-ops per
+    entry and serialized with the main dot (measured 193.7 vs the
+    band kernel's 397.7 Mvis/s dense); the basis form costs ~70.
     """
     iv0, u_off, w_row, u_frac, v_frac, valid = _unpack_words(pa, pb)
     n = pa.shape[0]
+    deg = c_uv.shape[0] - 1
+    s_uv = c_uv.shape[1]
+    s_w = c_w.shape[1]
     xu = inv2_ov * u_frac.astype(jnp.float32) - 1.0
-    uk = _clenshaw_rows(xu, c_uv)                       # [S, n]
-    xw = inv2_wov * w_row.astype(jnp.float32) - 1.0
-    wk = _clenshaw_rows(xw, c_w)                        # [Sw, n]
     xv = inv2_ov * v_frac.astype(jnp.float32) - 1.0
-    vk = _clenshaw_rows(xv, c_uv)                       # [S, n]
+    xw = inv2_wov * w_row.astype(jnp.float32) - 1.0
+    basis = jnp.concatenate([_cheb_basis(xu, deg),
+                             _cheb_basis(xv, deg),
+                             _cheb_basis(xw, deg)])  # [3*(deg+1), n]
+    k = deg + 1
+    # Block-diagonal coefficient matrix [2S+Sw, 3k] (built from the
+    # in-VMEM coefficient tables; tiny, evaluated once per sub-chunk).
+    z_uu = jnp.zeros((s_uv, k), jnp.float32)
+    z_wk = jnp.zeros((s_w, k), jnp.float32)
+    c_all = jnp.concatenate([
+        jnp.concatenate([c_uv.T, z_uu, z_uu], axis=1),
+        jnp.concatenate([z_uu, c_uv.T, z_uu], axis=1),
+        jnp.concatenate([z_wk, z_wk, c_w.T], axis=1)])
+    taps = jnp.dot(c_all, basis, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    uk = taps[:s_uv]                                    # [S, n]
+    vk = taps[s_uv:2 * s_uv]                            # [S, n]
+    wk = taps[2 * s_uv:]                                # [Sw, n]
     row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, n), 0)
     ub = jnp.zeros((WIN_ROWS, n), jnp.float32)
     for s in range(support):
@@ -151,51 +188,81 @@ def _prep_common(pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support):
     return ub, wk, vk, iv0, valid.astype(jnp.float32)
 
 
-def _grid_fused_kernel(bucket_ref, cuv_ref, cw_ref, pa_ref, pb_ref,
-                       vre_ref, vim_ref, out_ref, *, inv2_ov, inv2_wov,
-                       support: int, w_support: int, lanes: int,
-                       sub_v: int, precision_name: str):
+def _grid_fused_kernel(bucket_ref, nonempty_ref, cuv_ref, cw_ref,
+                       pa_ref, pb_ref, vre_ref, vim_ref, out_ref, *,
+                       inv2_ov, inv2_wov, support: int, w_support: int,
+                       lanes: int, sub_v: int, precision_name: str):
     b = pl.program_id(0)
     prev = bucket_ref[jnp.maximum(b - 1, 0)]
     first = jnp.logical_or(b == 0, prev != bucket_ref[b])
-    c_uv, c_w = cuv_ref[:], cw_ref[:]
     num_p = 2 * w_support
     block_v = pa_ref.shape[1]
+    occupied = nonempty_ref[b] != 0
 
-    contrib = jnp.zeros((num_p * WIN_ROWS, lanes), jnp.float32)
-    # Sub-block chunks: independent VPU prep / MXU dot chains that
-    # Mosaic can overlap across chunks.
-    for i in range(block_v // sub_v):
-        sl = pl.ds(i * sub_v, sub_v)
-        pa = pa_ref[0, sl]
-        pb = pb_ref[0, sl]
-        ub, wk, vk, iv0, _valid = _prep_common(
-            pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support)
-        vre = vre_ref[0, sl]
-        vim = vim_ref[0, sl]
-        # u_all rows j*16+r: (re if j < Sw else im) scale of layer
-        # j % Sw times the placed u-taps (packed_tap row layout).
-        u_all = jnp.concatenate(
-            [ub * (wk[j] * vre)[None, :] for j in range(w_support)]
-            + [ub * (wk[j] * vim)[None, :] for j in range(w_support)],
-            axis=0)                                     # [num_p*16, n]
-        # v-band: taps placed at their lane offsets (one-hot expand).
-        vkt = vk.T                                      # [n, S]
-        iv = iv0.reshape(sub_v, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (sub_v, lanes), 1)
-        vb = jnp.zeros((sub_v, lanes), jnp.float32)
-        for s in range(support):
-            vb = jnp.where(col == iv + s, vkt[:, s:s + 1], vb)
-        contrib = contrib + _dot_prec(u_all, vb, precision_name)
-    contrib = contrib.reshape(num_p, WIN_ROWS, lanes)
-
-    @pl.when(first)
+    @pl.when(occupied)
     def _():
-        out_ref[:, 0] = contrib
+        c_uv, c_w = cuv_ref[:], cw_ref[:]
+        contrib = jnp.zeros((num_p * WIN_ROWS, lanes), jnp.float32)
+        for i in range(block_v // sub_v):
+            sl = pl.ds(i * sub_v, sub_v)
+            pa = pa_ref[0, sl]
+            pb = pb_ref[0, sl]
+            ub, wk, vk, iv0, _valid = _prep_common(
+                pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support)
+            vre = vre_ref[0, sl]
+            vim = vim_ref[0, sl]
+            # u_all rows j*16+r: (re if j < Sw else im) scale of layer
+            # j % Sw times the placed u-taps (packed_tap row layout).
+            u_all = jnp.concatenate(
+                [ub * (wk[j] * vre)[None, :] for j in range(w_support)]
+                + [ub * (wk[j] * vim)[None, :]
+                   for j in range(w_support)],
+                axis=0)                                 # [num_p*16, n]
+            vb = _place_vband(vk, iv0, sub_v, lanes, support)
+            contrib = contrib + _dot_prec(u_all, vb, precision_name)
+        contrib = contrib.reshape(num_p, WIN_ROWS, lanes)
 
-    @pl.when(jnp.logical_not(first))
+        @pl.when(first)
+        def _():
+            out_ref[:, 0] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, 0] += contrib
+
+    # Empty (capacity-filler) blocks skip the build + dot entirely —
+    # the streaming plan's cap padding (~1.4x slots) otherwise pays
+    # full kernel cost for all-zero blocks. Zero-init on first so the
+    # window is never garbage for a bucket whose only blocks are
+    # empty (can only be the clipped filler bucket; folds mask it).
+    @pl.when(jnp.logical_not(occupied) & first)
     def _():
-        out_ref[:, 0] += contrib
+        out_ref[:, 0] = jnp.zeros_like(out_ref[:, 0])
+
+
+def _place_vband(vk, iv0, n: int, lanes: int, support: int):
+    """Place v-taps vk [S, n] at lane offsets iv0 -> [n, lanes].
+
+    Two-stage one-hot: stage A places the taps inside a 16-lane
+    window at offset ``iv0 & 7`` (8 selects over 16 lanes); stage B
+    expands the window to its 8-aligned octet position (tiled halves
+    + two lane-constant compares) — ~7*lanes + 256 lane-ops per entry
+    vs 16*lanes for the direct 8-way one-hot over all lanes.
+    """
+    vkt = vk.T                                          # [n, S]
+    iv = iv0.reshape(n, 1)
+    r = iv & 7
+    q = iv >> 3
+    col16 = jax.lax.broadcasted_iota(jnp.int32, (n, 16), 1)
+    vk16 = jnp.zeros((n, 16), jnp.float32)
+    for s in range(support):
+        vk16 = jnp.where(col16 == r + s, vkt[:, s:s + 1], vk16)
+    nq = lanes // 8
+    ve_lo = jnp.concatenate([vk16[:, :8]] * nq, axis=1)
+    ve_hi = jnp.concatenate([vk16[:, 8:]] * nq, axis=1)
+    colq = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), 1) >> 3
+    return (jnp.where(colq == q, ve_lo, 0.0)
+            + jnp.where(colq == q + 1, ve_hi, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -206,15 +273,20 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
                       support: int, w_support: int, oversampling: int,
                       w_oversampling: int, block_v: int = 1024,
                       sub_v: int = 0, precision: str = "highest",
+                      nonempty=None,
                       interpret: bool = False) -> Array:
     """Fused packed gridding: bit-packed plan words -> window stack.
 
     pa/pb: [total] int32 (:func:`pack_plan_words`, bucket-sorted and
     block-padded); vre/vim: [total] f32 (zero on invalid/padding
-    slots); bucket_ids: [total // block_v] int32.  Returns
-    [2*w_support, num_buckets, 16, lanes] f32 windows in the
-    :mod:`.packed_tap` row layout (garbage in never-visited buckets —
-    mask the fold with the plan's visited mask).
+    slots); bucket_ids: [total // block_v] int32.  ``nonempty``
+    ([num_blocks] int32, optional): blocks marked 0 skip the tap
+    build and dot entirely — the streaming plan passes its per-block
+    valid counts so capacity-filler blocks (cap ~1.4x the chunk) cost
+    nothing.  Returns [2*w_support, num_buckets, 16, lanes] f32
+    windows in the :mod:`.packed_tap` row layout (garbage in
+    never-visited buckets — mask the fold with the plan's visited
+    mask).
     """
     total = pa.shape[0]
     num_blocks = total // block_v
@@ -223,12 +295,14 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
         sub_v = min(block_v, 512)
     c_uv = jnp.asarray(uv_coeffs, jnp.float32)
     c_w = jnp.asarray(w_coeffs, jnp.float32)
+    if nonempty is None:
+        nonempty = jnp.ones((num_blocks,), jnp.int32)
     # Streams are presented [1, total] and blocked along the LAST dim:
     # Mosaic requires the block's last two dims to divide (8, 128) or
     # equal the array dims — (1, block_v) over [1, total] satisfies
     # both; the (num_blocks, block_v) form does not (block dim -2 of 1
     # neither divides 8 nor equals num_blocks).
-    vec = pl.BlockSpec((1, block_v), lambda b, ids: (0, b),
+    vec = pl.BlockSpec((1, block_v), lambda b, ids, ne: (0, b),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(
@@ -238,18 +312,18 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
             support=support, w_support=w_support, lanes=lanes,
             sub_v=sub_v, precision_name=precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(num_blocks,),
             in_specs=[
-                pl.BlockSpec(c_uv.shape, lambda b, ids: (0, 0),
+                pl.BlockSpec(c_uv.shape, lambda b, ids, ne: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(c_w.shape, lambda b, ids: (0, 0),
+                pl.BlockSpec(c_w.shape, lambda b, ids, ne: (0, 0),
                              memory_space=pltpu.VMEM),
                 vec, vec, vec, vec,
             ],
             out_specs=pl.BlockSpec(
                 (num_p, 1, WIN_ROWS, lanes),
-                lambda b, ids: (0, ids[b], 0, 0),
+                lambda b, ids, ne: (0, ids[b], 0, 0),
                 memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct(
@@ -257,17 +331,54 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(bucket_ids, c_uv, c_w, pa.reshape(1, total),
+    )(bucket_ids, nonempty, c_uv, c_w, pa.reshape(1, total),
       pb.reshape(1, total), vre.reshape(1, total),
       vim.reshape(1, total))
 
 
-def _degrid_fused_kernel(p_ref, g_ref, hv_ref, cuv_ref, cw_ref, pa_ref,
-                         pb_ref, *rest, inv2_ov, inv2_wov, support: int,
-                         w_support: int, n_vq: int, sub_v: int,
-                         precision_name: str):
+def _place_vband_t(vk, iv0, n: int, lanes: int, support: int):
+    """Row-major twin of :func:`_place_vband`: vk [S, n] placed at
+    sublane offsets iv0 -> [lanes, n] (vis on lanes)."""
+    r = (iv0 & 7)[None, :]
+    q = (iv0 >> 3)[None, :]
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (16, n), 0)
+    vk16 = jnp.zeros((16, n), jnp.float32)
+    for s in range(support):
+        vk16 = jnp.where(row16 == r + s, vk[s], vk16)
+    nq = lanes // 8
+    ve_lo = jnp.concatenate([vk16[:8]] * nq, axis=0)
+    ve_hi = jnp.concatenate([vk16[8:]] * nq, axis=0)
+    rowq = jax.lax.broadcasted_iota(jnp.int32, (lanes, n), 0) >> 3
+    return (jnp.where(rowq == q, ve_lo, 0.0)
+            + jnp.where(rowq == q + 1, ve_hi, 0.0))
+
+
+def _degrid_fused_kernel(p_ref, g_ref, hv_ref, nonempty_ref, cuv_ref,
+                         cw_ref, pa_ref, pb_ref, *rest, inv2_ov,
+                         inv2_wov, support: int, w_support: int,
+                         n_vq: int, sub_v: int, precision_name: str):
     quads = rest[:-1]
     out_ref = rest[-1]
+    b = pl.program_id(0)
+    occupied = nonempty_ref[b] != 0
+
+    @pl.when(jnp.logical_not(occupied))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref[:])
+
+    @pl.when(occupied)
+    def _():
+        _degrid_fused_body(
+            quads, out_ref, cuv_ref, cw_ref, pa_ref, pb_ref,
+            inv2_ov=inv2_ov, inv2_wov=inv2_wov, support=support,
+            w_support=w_support, n_vq=n_vq, sub_v=sub_v,
+            precision_name=precision_name)
+
+
+def _degrid_fused_body(quads, out_ref, cuv_ref, cw_ref, pa_ref,
+                       pb_ref, *, inv2_ov, inv2_wov, support: int,
+                       w_support: int, n_vq: int, sub_v: int,
+                       precision_name: str):
     c_uv, c_w = cuv_ref[:], cw_ref[:]
     lanes = n_vq * 128
     block_v = pa_ref.shape[1]
@@ -309,10 +420,7 @@ def _degrid_fused_kernel(p_ref, g_ref, hv_ref, cuv_ref, cw_ref, pa_ref,
         wkv = wk * valid_f                              # [Sw, n]
         # v-band transposed (lanes on sublanes, vis on lanes) so the
         # big contraction is a standard untransposed MXU matmul.
-        rowL = jax.lax.broadcasted_iota(jnp.int32, (lanes, sub_v), 0)
-        vbt = jnp.zeros((lanes, sub_v), jnp.float32)
-        for s in range(support):
-            vbt = jnp.where(rowL == iv0 + s, vk[s], vbt)
+        vbt = _place_vband_t(vk, iv0, sub_v, lanes, support)
         d = functools.partial(jnp.dot,
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.DEFAULT)
@@ -344,6 +452,7 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
                          w_support: int, oversampling: int,
                          w_oversampling: int, block_v: int = 1024,
                          sub_v: int = 0, precision: str = "highest",
+                         nonempty=None,
                          interpret: bool = False,
                          raw: bool = False) -> Array:
     """Fused degridding with in-kernel tap evaluation.
@@ -351,8 +460,10 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
     planes: [2, P, rows_pad, lanes_pad] f32 padded plane stack (as in
     :func:`packed_tap.degrid_fused_pallas`); p_idx/g_idx/hv_idx: [NB]
     int32 per-block window-tile coordinates; pa/pb: [total] int32
-    packed plan words (``valid`` bit zero on padding slots); ``lanes``
-    is the window lane width (the subgrid size for w-towers).
+    packed plan words (``valid`` bit zero on padding slots);
+    ``nonempty``: optional [NB] int32 — 0-marked (capacity-filler)
+    blocks skip the build + dots and write zeros; ``lanes`` is the
+    window lane width (the subgrid size for w-towers).
     Returns [total] complex64 in sorted order (or the raw [8, total]
     f32 pair with ``raw=True``).
     """
@@ -363,6 +474,8 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
         sub_v = min(block_v, 512)
     c_uv = jnp.asarray(uv_coeffs, jnp.float32)
     c_w = jnp.asarray(w_coeffs, jnp.float32)
+    if nonempty is None:
+        nonempty = jnp.ones((num_blocks,), jnp.int32)
 
     quad_specs = []
     for layer in range(w_support):
@@ -371,7 +484,7 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
                 quad_specs.append(pl.BlockSpec(
                     (2, 1, 8, 128),
                     functools.partial(
-                        lambda b, p, g, hv, L=0, DG=0, DV=0:
+                        lambda b, p, g, hv, ne, L=0, DG=0, DV=0:
                         (0, p[b] + L, g[b] + DG, hv[b] + DV),
                         L=layer, DG=dg, DV=dv),
                     memory_space=pltpu.VMEM))
@@ -379,7 +492,7 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
     # [1, total] streams blocked along the last dim (see
     # grid_fused_pallas: the (num_blocks, block_v) form fails the
     # Mosaic block-shape rule).
-    vec = pl.BlockSpec((1, block_v), lambda b, p, g, hv: (0, b),
+    vec = pl.BlockSpec((1, block_v), lambda b, p, g, hv, ne: (0, b),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
@@ -389,24 +502,26 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
             support=support, w_support=w_support, n_vq=n_vq,
             sub_v=sub_v, precision_name=precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(num_blocks,),
             in_specs=[
-                pl.BlockSpec(c_uv.shape, lambda b, p, g, hv: (0, 0),
+                pl.BlockSpec(c_uv.shape,
+                             lambda b, p, g, hv, ne: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(c_w.shape, lambda b, p, g, hv: (0, 0),
+                pl.BlockSpec(c_w.shape,
+                             lambda b, p, g, hv, ne: (0, 0),
                              memory_space=pltpu.VMEM),
                 vec, vec,
             ] + quad_specs,
             out_specs=pl.BlockSpec((8, block_v),
-                                   lambda b, p, g, hv: (0, b),
+                                   lambda b, p, g, hv, ne: (0, b),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(p_idx, g_idx, hv_idx, c_uv, c_w,
+    )(p_idx, g_idx, hv_idx, nonempty, c_uv, c_w,
       pa.reshape(1, total), pb.reshape(1, total),
       *([planes] * (2 * n_vq * w_support)))
     if raw:

@@ -87,6 +87,16 @@ Array = jax.Array
 # (one-hot HBM traffic = nlat * 4 B/entry vs ~12 ns/entry gather).
 _LUT_ONEHOT_MAX = 1024
 
+# Task count up to which the compare-rank lookup beats everything:
+# the box keys are SORTED, so ``task = sum_j [key >= fk_j] - 1`` and
+# ``present = any_j [key == fk_j]``, and every per-task attribute
+# follows by the prefix-difference trick ``A[task] = sum_j
+# [key >= fk_j] * (A[j] - A[j-1])`` — pure broadcast-compare-reduce
+# chains XLA fuses WITHOUT materialising an [N, T] operand (the
+# one-hot matmul's operand round-trips ~nlat*4 B/entry of HBM: 13.4
+# ms measured at dense-chunk scale on-chip, 2026-08-20).
+_RANK_LUT_MAX = 128
+
 _ETA = 1e-5   # tower-range guard, mirrors plan_packed / plan_wstack
 
 
@@ -295,6 +305,11 @@ def plan_stream(wplan: WStackPlan, boxes, chunk_rows: int,
     consts = dict(
         lut=lut, lut2=lut2, b0=b0.astype(np.int32),
         nb3=nb3.astype(np.int32),
+        # flat box keys in task order — ASCENDING (np.unique(axis=0)
+        # sorts boxes lexicographically and the lattice flattening is
+        # monotone in (biw, biu, biv)), which the compare-rank lookup
+        # relies on.
+        flat_sorted=flat.astype(np.int32),
         first_t=first_t.astype(np.int32),
         off_w=off_w_t.astype(np.float32),
         num_planes_t=num_planes_t.astype(np.int32))
@@ -400,6 +415,24 @@ class _StreamEngine:
         if (c.get("lut2") is not None
                 and c["lut2"].shape[0] <= _LUT_ONEHOT_MAX):
             self._lut2_oh = jnp.asarray(c["lut2"].astype(np.float32))
+        # Compare-rank lookup tables (sorted flat keys + per-task
+        # attribute prefix-differences; see _RANK_LUT_MAX).
+        self._rank = None
+        if (c.get("flat_sorted") is not None
+                and len(splan.tasks) <= _RANK_LUT_MAX):
+            fk = c["flat_sorted"].astype(np.int32)
+
+            def pdiff(a):
+                d = np.asarray(a).copy()
+                d[1:] -= d[:-1]
+                return d
+
+            self._rank = dict(
+                fk=jnp.asarray(fk),
+                d_first=jnp.asarray(pdiff(c["first_t"])),
+                d_nplanes=jnp.asarray(pdiff(c["num_planes_t"])),
+                d_offw=jnp.asarray(pdiff(c["off_w"]).astype(
+                    np.float32)))
         self._first_t = jnp.asarray(c["first_t"])
         self._off_w = jnp.asarray(c["off_w"])
         self._num_planes_t = jnp.asarray(c["num_planes_t"])
@@ -476,7 +509,26 @@ class _StreamEngine:
                & (i2 >= 0) & (i2 < nb3[2]))
         li = (i0 * nb3[1] + i1) * nb3[2] + i2
         li = jnp.clip(li, 0, self._lut.shape[0] - 1)
-        if self._lut2_oh is not None:
+        if self._rank is not None:
+            # Compare-rank lookup over the SORTED box keys: broadcast
+            # compare + reduce chains fuse in XLA with no [N, T]
+            # materialisation and no gathers (the one-hot matmul's
+            # operand cost 13.4 ms/chunk on-chip; this is ~1-2 ms).
+            r = self._rank
+            cmp_ge = (li[:, None] >= r["fk"][None, :])
+            present = jnp.any(li[:, None] == r["fk"][None, :], axis=1)
+            rank_ge = jnp.sum(cmp_ge, axis=1, dtype=jnp.int32)
+            task = jnp.where(inb & present, rank_ge - 1, -1)
+            # A[task] via prefix differences (exact: int32 tables, and
+            # off_w holds trunc()'d values < 2^24 in f32).
+            first_e = jnp.sum(jnp.where(cmp_ge, r["d_first"][None, :],
+                                        0), axis=1, dtype=jnp.int32)
+            nplanes_e = jnp.sum(
+                jnp.where(cmp_ge, r["d_nplanes"][None, :], 0),
+                axis=1, dtype=jnp.int32)
+            off_w_e = jnp.sum(jnp.where(cmp_ge, r["d_offw"][None, :],
+                                        jnp.float32(0)), axis=1)
+        elif self._lut2_oh is not None:
             # One-hot matmul lookup: one [N, nlat] @ [nlat, 8] product
             # replaces the row-gather (~30 ms -> ~2 ms at dense-chunk
             # scale; see engine __init__). HIGHEST precision keeps the
@@ -634,6 +686,11 @@ class _StreamEngine:
             src0 = jnp.clip(edges[block_bucket] + off_in_b, 0, N)
             vcnt = jnp.clip(counts[block_bucket] - off_in_b, 0,
                             splan.block_v)
+            # Per-block occupancy for the fused kernels' empty-block
+            # skip: the capacity padding (cap ~1.4x the chunk) and
+            # each bucket's padding tail otherwise pay the full tap
+            # build + dot for all-zero blocks.
+            nonempty = (vcnt > 0).astype(jnp.int32)
 
             placed_out = place_stream_pallas(
                 src0, vcnt,
@@ -676,7 +733,8 @@ class _StreamEngine:
             # already zero-fills invalid slots, including vre/vim, so
             # garbage taps multiply zero visibilities. The overflow
             # case is masked downstream (visited/gain).
-            arrays = dict(packed_a=pa_p, packed_b=pb_p, valid=slot_ok)
+            arrays = dict(packed_a=pa_p, packed_b=pb_p, valid=slot_ok,
+                          nonempty=nonempty)
             if vre is not None:
                 arrays["vre"] = vis_placed[0]
                 arrays["vim"] = vis_placed[1]
@@ -749,6 +807,7 @@ class _StreamEngine:
                 splan.num_buckets, plan.subgrid_size, plan.support,
                 plan.w_support, plan.oversampling, plan.w_oversampling,
                 block_v=splan.block_v, precision=self.precision,
+                nonempty=arrays.get("nonempty"),
                 interpret=self.interpret)
         else:
             from ..kernels.packed_tap import stream_prep_grid_pallas
@@ -993,6 +1052,7 @@ class _StreamEngine:
                 plan.subgrid_size, plan.support, plan.w_support,
                 plan.oversampling, plan.w_oversampling,
                 block_v=splan.block_v, precision=self.precision,
+                nonempty=arrays.get("nonempty"),
                 interpret=self.interpret, raw=True)
         else:
             from ..kernels.packed_tap import stream_prep_degrid_pallas

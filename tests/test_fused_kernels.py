@@ -1,13 +1,16 @@
 """Fused (in-kernel tap evaluation) grid/degrid kernels vs the
 streamed-band packed kernels.
 
-The fused kernels are the packed drivers' default path, so the driver
-and streaming suites exercise them end-to-end; here the kernels are
-pinned DIRECTLY against the band-streaming formulation on the same
-plan (bit-exact at precision="highest" — both evaluate the same
-Chebyshev fits and run the same HIGHEST-precision MXU dot), plus the
-word packing round-trip and the "high" (3-pass bf16-split) accuracy
-budget.
+The fused kernels are the streaming engine (plan-once drivers default
+to the band engine since the 2026-08-20 sweep), and the streaming
+suite exercises them end-to-end; here the kernels are pinned DIRECTLY
+against the band-streaming formulation on the same plan, plus the
+word packing round-trip and the "high" (manual bf16-split) accuracy
+budget.  The comparison is tolerance-based, not bit-exact: the fused
+kernels evaluate the Chebyshev fits via a basis recurrence + one MXU
+coefficient dot (round-4 v2 — ~70 VPU lane-ops/entry vs ~800 for the
+per-support Clenshaw the band build uses), which agrees with Clenshaw
+to a few ulps, not bitwise.
 """
 
 import numpy as np
@@ -75,7 +78,10 @@ def setup():
         THETA, W_STEP, support=8, oversampling=16384, w_support=4,
         w_oversampling=16384, w_tower_height=HEIGHT)
     pplan = plan_packed(wplan, uvw, block_v=128)
-    g = packed_gridder(pplan)          # fused by default
+    # engine="fused" explicitly: since the 2026-08-20 on-chip sweep
+    # (band 397.7 vs fused 193.7 Mvis/s dense) the plan-once default
+    # is the band engine; the fused engine is the streaming engine.
+    g = packed_gridder(pplan, engine="fused")
     assert g._fused
     vis = (rng.standard_normal((num_rows, num_chan))
            + 1j * rng.standard_normal((num_rows, num_chan))
@@ -132,16 +138,24 @@ def test_grid_fused_matches_band_kernel(setup):
     visited = np.asarray(pplan.arrays["visited"])
     wr = np.asarray(wins_ref)[:, visited]
     wf = np.asarray(wins)[:, visited]
-    # Same taps, same dot, same accumulation order -> bit-exact.
-    np.testing.assert_array_equal(wf, wr)
+    # Basis-form taps agree with the band build's Clenshaw to a few
+    # ulps (same fit, different evaluation order) — not bitwise.
+    tol = 1e-6 * np.abs(wr).max()
+    np.testing.assert_allclose(wf, wr, atol=tol)
 
 
 @pytest.mark.slow
 def test_degrid_fused2_matches_band_kernel(setup):
     s = setup
     wplan, pplan, g = s["wplan"], s["pplan"], s["g"]
-    rng = np.random.default_rng(11)
-    image = rng.standard_normal((IMAGE, IMAGE)).astype(np.float32)
+    # Sky-like model (point sources): a full-range noise image is
+    # amplified ~1e15 by the 1/PSWF border + w-ladder in the plane
+    # stack, and few-ulp tap differences between the basis-form and
+    # Clenshaw evaluations then read as O(1) relative vis error — the
+    # same conditioning caveat as test_packed_fast_mode_accuracy.
+    image = np.zeros((IMAGE, IMAGE), np.float32)
+    image[IMAGE // 2 + 12, IMAGE // 2 - 9] = 1.0
+    image[IMAGE // 2 - 20, IMAGE // 2 + 15] = 0.5
     st = jax.jit(lambda im: g._dstage_layers(
         g._dstage_planes(im), g.ladder_degrid, g.pref_degrid))(
             jnp.asarray(image))
@@ -155,7 +169,10 @@ def test_degrid_fused2_matches_band_kernel(setup):
         wplan.subgrid_size, wplan.support, wplan.w_support,
         wplan.oversampling, wplan.w_oversampling,
         block_v=pplan.block_v, precision="highest", interpret=True)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    a, b = np.asarray(out), np.asarray(out_ref)
+    # See test_grid_fused_matches_band_kernel: few-ulp tap agreement
+    # (scaled by the sky-like model's visibility magnitude).
+    np.testing.assert_allclose(a, b, atol=1e-5 * np.abs(b).max())
 
 
 @pytest.mark.slow
