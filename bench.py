@@ -101,8 +101,11 @@ def _measure_rooflines(red):
     was calibrated for):
       * ``hbm_gbps`` — streaming triad bandwidth (read+write) over a
         192 MiB f32 buffer;
-      * ``mxu_tflops`` — f32 [2048]^3 matmul peak (the MXU speed of
-        light; in-kernel packed dots reach a fraction of it).
+      * ``mxu_tflops`` — f32 [4096]^3 matmul peak (the MXU speed of
+        light; in-kernel packed dots reach a fraction of it). [2048]^3
+        measured only 8 TF/s on 2026-08-20 — per-dispatch tunnel
+        overhead dominates below ~100 GFLOP/call; [4096]^3 (137
+        GFLOP) reproduces the round-1 39.6 TF/s.
     Both use the chained-loop + final-readback timing methodology
     (PERFORMANCE.md) so tunnel memoisation/pipelining cannot inflate
     them.
@@ -123,7 +126,7 @@ def _measure_rooflines(red):
     hbm_gbps = 2.0 * 4.0 * n / dt / 1e9
     del x
 
-    m = 2048
+    m = 4096
     rng = np.random.default_rng(11)
     a = jnp.asarray(rng.standard_normal((m, m)).astype(np.float32))
 
@@ -144,25 +147,34 @@ def _measure_rooflines(red):
     return hbm_gbps, mxu_tflops
 
 
-def _attainable_mvis(pplan, w_support, num_vis, hbm_gbps, mxu_tflops):
-    """Speed-of-light Mvis/s for the fused packed kernel on this chip.
+def _attainable_mvis(pplan, w_support, num_vis, hbm_gbps, mxu_tflops,
+                     lanes: int = 128):
+    """(speed_of_light, band_roofline) Mvis/s on this chip.
 
-    The fused kernel (kernels/fused_tap.py) moves per PADDED slot two
-    int32 plan words + two f32 visibility planes (16 B) and writes one
-    [2*w_support, 16, 128] f32 window per bucket; the dot costs
-    2 * (2*w_support*16) * 128 FLOP per padded slot.  The attainable
-    rate divides the chip's measured peaks by those per-REAL-vis costs
-    — an upper bound no formulation of this algorithm could beat on
-    the attached chip (whole-image adds folds/FFTs on top).
+    ``speed_of_light``: the algorithm-level bound — the packed dot
+    costs 2 * (2*w_support*16) * lanes FLOP per padded slot, and the
+    minimum conceivable stream is the fused kernel's 16 B/slot plan
+    words + the per-bucket window writes; no formulation beats
+    ``1 / max(t_flop, t_mem_min)``.
+
+    ``band_roofline``: the bandwidth bound of the SHIPPING band-stream
+    formulation (kernels/packed_tap.py), which streams ~(4*lanes + 96)
+    B per padded slot of pre-built bands — the engine measured AT this
+    bound (397.7 Mvis/s vs 238 GB/s triad, 2026-08-20), i.e. the
+    shipping kernel saturates its formulation's roofline; further
+    gains need fewer bytes, not better scheduling.
     """
     pad = pplan.total / float(num_vis)
     win_rows = 2 * w_support * 16
-    flops_per_vis = 2.0 * win_rows * 128 * pad
-    win_bytes = pplan.num_buckets * win_rows * 128 * 4.0
-    bytes_per_vis = 16.0 * pad + win_bytes / float(num_vis)
+    flops_per_vis = 2.0 * win_rows * lanes * pad
+    win_bytes = pplan.num_buckets * win_rows * lanes * 4.0
+    bytes_min = 16.0 * pad + win_bytes / float(num_vis)
     t_flop = flops_per_vis / (mxu_tflops * 1e12)
-    t_mem = bytes_per_vis / (hbm_gbps * 1e9)
-    return 1e-6 / max(t_flop, t_mem)
+    t_mem = bytes_min / (hbm_gbps * 1e9)
+    sol = 1e-6 / max(t_flop, t_mem)
+    band_bytes = (4.0 * lanes + 96.0) * pad + win_bytes / float(num_vis)
+    band = 1e-6 / max(t_flop, band_bytes / (hbm_gbps * 1e9))
+    return sol, band
 
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_last.json")
@@ -366,10 +378,10 @@ def main():
 
     # ---- chip-honest attainable rate (VERDICT r3 #6) ----------------
     hbm_gbps, mxu_tflops = _measure_rooflines(red)
-    att_head = _attainable_mvis(pplan, plan.w_support, num_vis,
-                                hbm_gbps, mxu_tflops)
-    att_dense = _attainable_mvis(pplan_d, plan_d.w_support, nvis_d,
-                                 hbm_gbps, mxu_tflops)
+    att_head, att_head_band = _attainable_mvis(
+        pplan, plan.w_support, num_vis, hbm_gbps, mxu_tflops)
+    att_dense, att_dense_band = _attainable_mvis(
+        pplan_d, plan_d.w_support, nvis_d, hbm_gbps, mxu_tflops)
 
     _emit({
         "metric": "gridding_throughput",
@@ -380,6 +392,9 @@ def main():
         "attainable_mvis_s": round(att_head, 1),
         "dense_vs_attainable": round(dense_mvis / att_dense, 4),
         "dense_attainable_mvis_s": round(att_dense, 1),
+        "band_roofline_mvis_s": round(att_dense_band, 1),
+        "dense_vs_band_roofline": round(dense_mvis / att_dense_band,
+                                        4),
         "hbm_gbps": round(hbm_gbps, 1),
         "mxu_tflops": round(mxu_tflops, 2),
         "scenario": "whole-image 512^2, %d tasks, %d w-planes, %.2gM vis"

@@ -325,10 +325,10 @@ def _grid_es_impl(plan, ep, interpret, vis, weight, dirty_image,
     vre = jnp.where(valid, vis_s.real, 0.0).astype(jnp.float32)
     vim = jnp.where(valid, vis_s.imag * flip, 0.0) \
         .astype(jnp.float32)
-    # kw_t is pre-transposed [Sw, V]: broadcast multiply in the
-    # kernel operand layout, no per-call V-major relayout.
-    scales = jnp.concatenate([kw_t * vre[None, :],
-                              kw_t * vim[None, :]], axis=0)
+    # Split-scales kernel form: kw_t [Sw, V] + vre/vim stream into
+    # the kernel and the scale stack is built in VMEM (the pre-built
+    # stack cost an extra per-call XLA pass; the kernel is
+    # bandwidth-bound — see packed_tap._grid_kernel_split).
 
     dirty = jnp.zeros((size, size), jnp.float32)
     acc = jnp.zeros((2, ep.num_w_grids, ep.rows_pad, ep.lanes_pad),
@@ -341,8 +341,8 @@ def _grid_es_impl(plan, ep, interpret, vis, weight, dirty_image,
         wins = grid_packed_pallas(
             jax.lax.slice_in_dim(block_bucket, b0, b1, axis=0),
             ubase[:, sl], vband[sl],
-            scales[:, sl], ep.gu * ep.gv, _LANES, sw,
-            block_v=bv, interpret=interpret)
+            (kw_t[:, sl], vre[sl], vim[sl]), ep.gu * ep.gv, _LANES,
+            sw, block_v=bv, interpret=interpret)
         contrib = _fold_slab(wins, jnp.asarray(ep.arrays["visited"][s]),
                              ep.gu, ep.gv, sw, ep.rows_pad, ep.lanes_pad)
         acc = acc.at[:, s:s + sw].add(contrib)

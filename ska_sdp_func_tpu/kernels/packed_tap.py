@@ -105,6 +105,12 @@ def _grid_kernel(bucket_ref, ubase_ref, vband_ref, scales_ref, out_ref,
     u_all = jnp.concatenate(
         [ubase_ref[:] * scales_ref[j:j + 1, :] for j in range(num_p)],
         axis=0)
+    _grid_accumulate(u_all, vband_ref, out_ref, first, num_p,
+                     precision)
+
+
+def _grid_accumulate(u_all, vband_ref, out_ref, first, num_p: int,
+                     precision):
     # fast mode: the v-band streams in as bf16 (half the dominant HBM
     # stream) and the dot runs single-pass bf16 x bf16 -> f32 on the
     # MXU (842 vs 1229 ns/block measured; ~2e-3 kernel accuracy).
@@ -125,6 +131,32 @@ def _grid_kernel(bucket_ref, ubase_ref, vband_ref, scales_ref, out_ref,
     @pl.when(jnp.logical_not(first))
     def _():
         out_ref[:, 0] += contrib
+
+
+def _grid_kernel_split(bucket_ref, ubase_ref, vband_ref, wkt_ref,
+                       vre_ref, vim_ref, out_ref, *, num_p: int,
+                       precision):
+    """Grid kernel with the scale stack built IN VMEM from the w-tap
+    stream and the visibility planes: streams 24 B/slot (wk_t 16 +
+    vre/vim 8) instead of the 32 B/slot pre-built ``scales`` AND
+    deletes the per-call XLA scale pass (another ~56 B/slot of HBM) —
+    the band kernel is bandwidth-bound (397.7 Mvis/s at the measured
+    238 GB/s triad, 2026-08-20), so bytes are time.  Same math, same
+    accumulation order as :func:`_grid_kernel` (scales_j = wk[j %% Sw]
+    * re/im(vis))."""
+    b = pl.program_id(0)
+    prev = bucket_ref[jnp.maximum(b - 1, 0)]
+    first = jnp.logical_or(b == 0, prev != bucket_ref[b])
+    sw = num_p // 2
+    wk = wkt_ref[:]                                  # [Sw, bv]
+    vre = vre_ref[0, :]
+    vim = vim_ref[0, :]
+    u_all = jnp.concatenate(
+        [ubase_ref[:] * (wk[j] * vre)[None, :] for j in range(sw)]
+        + [ubase_ref[:] * (wk[j] * vim)[None, :] for j in range(sw)],
+        axis=0)
+    _grid_accumulate(u_all, vband_ref, out_ref, first, num_p,
+                     precision)
 
 
 def _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
@@ -173,8 +205,13 @@ def grid_packed_pallas(bucket_ids, ubase, vband, scales,
     ``bucket_ids[b]`` and buckets occupy contiguous block runs.
 
     bucket_ids: [NB] int32; ubase: [16, V]; vband: [V, lanes];
-    scales: [2*w_support, V] f32 (w-tap * re/im(vis), zero for padded
-    or invalid entries). Returns [2*w_support, num_buckets, 16, lanes]
+    scales: EITHER the pre-built [2*w_support, V] f32 scale stack
+    (w-tap * re/im(vis), zero for padded or invalid entries) OR a
+    tuple ``(wk_t [Sw, V], vre [V], vim [V])`` — the split form
+    builds the stack in VMEM, streaming 24 B/slot instead of 32 and
+    deleting the per-call XLA scale pass (the kernel is
+    bandwidth-bound; see :func:`_grid_kernel_split`).
+    Returns [2*w_support, num_buckets, 16, lanes]
     f32 windows ((layer, re/im)-major so driver folds are reshapes;
     NaN/garbage in never-visited buckets — mask the fold with the
     plan's visited mask via ``jnp.where``, not multiply).
@@ -182,10 +219,35 @@ def grid_packed_pallas(bucket_ids, ubase, vband, scales,
     num_p = 2 * w_support
     total = vband.shape[0]
     num_blocks = total // block_v
+    split = isinstance(scales, (tuple, list))
+
+    if split:
+        wk_t, vre, vim = scales
+        kern = functools.partial(_grid_kernel_split, num_p=num_p,
+                                 precision=_precision(fast))
+        extra_specs = [
+            pl.BlockSpec((w_support, block_v), lambda b, ids: (0, b),
+                         memory_space=pltpu.VMEM),
+            # 1-D vis streams blocked along lanes ([1, total] view:
+            # Mosaic's block-shape rule, see fused_tap).
+            pl.BlockSpec((1, block_v), lambda b, ids: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda b, ids: (0, b),
+                         memory_space=pltpu.VMEM),
+        ]
+        extra_ops = (wk_t, vre.reshape(1, total),
+                     vim.reshape(1, total))
+    else:
+        kern = functools.partial(_grid_kernel, num_p=num_p,
+                                 precision=_precision(fast))
+        extra_specs = [
+            pl.BlockSpec((num_p, block_v), lambda b, ids: (0, b),
+                         memory_space=pltpu.VMEM),
+        ]
+        extra_ops = (scales,)
 
     return pl.pallas_call(
-        functools.partial(_grid_kernel, num_p=num_p,
-                          precision=_precision(fast)),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(num_blocks,),
@@ -194,9 +256,7 @@ def grid_packed_pallas(bucket_ids, ubase, vband, scales,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_v, lanes), lambda b, ids: (b, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((num_p, block_v), lambda b, ids: (0, b),
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + extra_specs,
             out_specs=pl.BlockSpec(
                 (num_p, 1, WIN_ROWS, lanes),
                 lambda b, ids: (0, ids[b], 0, 0),
@@ -207,7 +267,7 @@ def grid_packed_pallas(bucket_ids, ubase, vband, scales,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(bucket_ids, ubase, vband, scales)
+    )(bucket_ids, ubase, vband, *extra_ops)
 
 
 def _clenshaw_rows(x, c):

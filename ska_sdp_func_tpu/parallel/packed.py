@@ -724,14 +724,14 @@ class PackedGridder:
                 block_v=pplan.block_v, precision=self.precision,
                 interpret=self.interpret)
         wk_t, ubase, vband = ops
-        # wk_t is pre-transposed [Sw, V]: the scale build is a pure
-        # broadcast multiply in the kernel's [2*Sw, V] operand layout —
-        # the [V, Sw] form needed a V-major relayout every call.
-        scales = jnp.concatenate([wk_t * vre[None, :],
-                                  wk_t * vim[None, :]], axis=0)
+        # Split-scales form: wk_t [Sw, V] + vre/vim stream straight
+        # into the kernel and the scale stack is built in VMEM — the
+        # pre-built ``scales`` cost an extra XLA pass (~56 B/slot of
+        # HBM) plus 8 B/slot more stream every call, and the kernel
+        # is bandwidth-bound.
         return grid_packed_pallas(
-            block_bucket, ubase, vband, scales, pplan.num_buckets,
-            plan.subgrid_size, plan.w_support,
+            block_bucket, ubase, vband, (wk_t, vre, vim),
+            pplan.num_buckets, plan.subgrid_size, plan.w_support,
             block_v=pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
@@ -1113,11 +1113,9 @@ class PackedGridder:
                         interpret=self.interpret)
                 else:
                     wkt_c, ubase_c, vband_c = ops
-                    scales = jnp.concatenate(
-                        [wkt_c * vre_c[None, :],
-                         wkt_c * vim_c[None, :]], axis=0)
                     wins = grid_packed_pallas(
-                        bb_loc_c, ubase_c, vband_c, scales, tp * S * G,
+                        bb_loc_c, ubase_c, vband_c,
+                        (wkt_c, vre_c, vim_c), tp * S * G,
                         sgs, plan.w_support, block_v=pplan.block_v,
                         fast=self.fast, interpret=self.interpret)
                 visited_local = jnp.zeros((tp * S * G,), bool) \
