@@ -77,7 +77,8 @@ def measure_one(cfg):
                 g.block_bucket, pa, pb, vre, vim, uv_c, w_c,
                 pplan.num_buckets, SUBGRID, plan.support,
                 plan.w_support, plan.oversampling, plan.w_oversampling,
-                block_v=bv, sub_v=cfg["sub"], precision=cfg["prec"])
+                block_v=bv, sub_v=cfg["sub"], precision=cfg["prec"],
+                band_form=cfg.get("form", "col"))
     elif cfg["kind"] == "grid_stream":
         def call(vre):
             scales = jnp.concatenate([g.wk_t * vre[None, :],

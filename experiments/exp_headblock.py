@@ -62,6 +62,42 @@ def measure_one(cfg):
     vre, vim = g.sort(visd)
     total = pplan.total
 
+    if cfg["kind"] == "fused_row":
+        from ska_sdp_func_tpu.kernels.fused_tap import (
+            grid_fused_pallas, pack_plan_words)
+        from ska_sdp_func_tpu.grid_data.wtower import _tap_coeffs_cached
+
+        arr = pplan.arrays
+        pa, pb = pack_plan_words(arr["iv0"], arr["u_off"],
+                                 arr["w_row"], arr["u_frac"],
+                                 arr["v_frac"], arr["valid"])
+        pa, pb = jnp.asarray(pa), jnp.asarray(pb)
+        uv_c = _tap_coeffs_cached(plan.support, plan.oversampling)
+        w_c = _tap_coeffs_cached(plan.w_support, plan.w_oversampling)
+        bb = g.block_bucket
+
+        def call(vre):
+            return grid_fused_pallas(
+                bb, pa, pb, vre, vim, uv_c, w_c, pplan.num_buckets,
+                SUBGRID, plan.support, plan.w_support,
+                plan.oversampling, plan.w_oversampling, block_v=bv,
+                precision="highest", band_form="row")
+
+        out = call(vre)
+        _ = float(red(out))
+        for _loop in range(2):
+            t0 = time.perf_counter()
+            for _i in range(12):
+                out = call(vre)
+                vre = fb(vre, red(out))
+            _ = float(red(out))
+            dt = (time.perf_counter() - t0) / 12
+        print("RESULT " + json.dumps(dict(
+            cfg, nvis=nvis, total=total, pad=round(total / nvis, 3),
+            t_ms=dt * 1e3, mvis_s=nvis / dt / 1e6,
+            slot_ns=dt / total * 1e9)), flush=True)
+        return
+
     if cfg["kind"] == "real":
         bb = g.block_bucket
         nb = pplan.num_buckets
@@ -99,6 +135,7 @@ def main():
     cfgs = []
     for bv in (128, 256, 512, 1024):
         cfgs.append(dict(kind="real", bv=bv))
+        cfgs.append(dict(kind="fused_row", bv=bv))
     for bv in (128, 256):
         cfgs.append(dict(kind="maxswitch", bv=bv))
         cfgs.append(dict(kind="minswitch", bv=bv))

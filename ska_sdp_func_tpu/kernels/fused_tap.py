@@ -97,6 +97,29 @@ def _dot_prec(a, b, precision_name: str):
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def _dot_prec_nt(a, bt, precision_name: str):
+    """``a [M, K] x bt [N, K] -> [M, N]`` (B transposed) at one of the
+    three precision modes — lets the kernel build the band in the
+    cheap ROW form and hand the transpose to the MXU's operand path.
+    """
+    dims = (((1,), (1,)), ((), ()))
+
+    def d(x, y, prec):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+    if precision_name == "bf16":
+        return d(a.astype(jnp.bfloat16), bt.astype(jnp.bfloat16),
+                 jax.lax.Precision.DEFAULT)
+    if precision_name == "high":
+        a_hi, a_lo = _split_hi_lo(a)
+        b_hi, b_lo = _split_hi_lo(bt)
+        p = jax.lax.Precision.DEFAULT
+        return d(a_hi, b_hi, p) + (d(a_hi, b_lo, p) + d(a_lo, b_hi, p))
+    return d(a, bt, jax.lax.Precision.HIGHEST)
+
+
 def fused_geometry_ok(subgrid_size: int, support: int,
                       oversampling: int, w_oversampling: int) -> bool:
     """True when the plan fields fit the packed int32 words."""
@@ -191,7 +214,14 @@ def _prep_common(pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support):
 def _grid_fused_kernel(bucket_ref, nonempty_ref, cuv_ref, cw_ref,
                        pa_ref, pb_ref, vre_ref, vim_ref, out_ref, *,
                        inv2_ov, inv2_wov, support: int, w_support: int,
-                       lanes: int, sub_v: int, precision_name: str):
+                       lanes: int, sub_v: int, precision_name: str,
+                       band_form: str = "row"):
+    # band_form="row" (default): the v-band is built in the cheap
+    # ROW-major two-stage form and the MXU consumes it through a
+    # B-transposed dot_general — MEASURED 390-397 Mvis/s f32 / 422
+    # high / 591 bf16 on the dense 4.2M stream (2026-08-20), equal to
+    # the HBM-bound band kernel at 16 B/slot instead of ~600. "col"
+    # (the original form, 163.5 Mvis/s) is kept for comparison only.
     b = pl.program_id(0)
     prev = bucket_ref[jnp.maximum(b - 1, 0)]
     first = jnp.logical_or(b == 0, prev != bucket_ref[b])
@@ -218,8 +248,16 @@ def _grid_fused_kernel(bucket_ref, nonempty_ref, cuv_ref, cw_ref,
                 + [ub * (wk[j] * vim)[None, :]
                    for j in range(w_support)],
                 axis=0)                                 # [num_p*16, n]
-            vb = _place_vband(vk, iv0, sub_v, lanes, support)
-            contrib = contrib + _dot_prec(u_all, vb, precision_name)
+            if band_form == "row":
+                # Row-form band (cheap two-stage placement) + a
+                # B-transposed MXU contraction.
+                vbt = _place_vband_t(vk, iv0, sub_v, lanes, support)
+                contrib = contrib + _dot_prec_nt(u_all, vbt,
+                                                 precision_name)
+            else:
+                vb = _place_vband(vk, iv0, sub_v, lanes, support)
+                contrib = contrib + _dot_prec(u_all, vb,
+                                              precision_name)
         contrib = contrib.reshape(num_p, WIN_ROWS, lanes)
 
         @pl.when(first)
@@ -243,37 +281,35 @@ def _grid_fused_kernel(bucket_ref, nonempty_ref, cuv_ref, cw_ref,
 def _place_vband(vk, iv0, n: int, lanes: int, support: int):
     """Place v-taps vk [S, n] at lane offsets iv0 -> [n, lanes].
 
-    Two-stage one-hot: stage A places the taps inside a 16-lane
-    window at offset ``iv0 & 7`` (8 selects over 16 lanes); stage B
-    expands the window to its 8-aligned octet position (tiled halves
-    + two lane-constant compares) — ~7*lanes + 256 lane-ops per entry
-    vs 16*lanes for the direct 8-way one-hot over all lanes.
+    Direct 8-way one-hot over the full lane width.  MEASURED NEGATIVE
+    RESULT (2026-08-20 on-chip): a "two-stage" variant (16-lane
+    window then octet expansion) halved the grid_fused rate (193.7 ->
+    ~100 Mvis/s) — narrow [n, 16] arrays occupy full 128-lane vregs,
+    so the "cheaper" stage A costs the same per op as full-width
+    selects, and the 8-lane-slice concats lower to expensive lane
+    shuffles.  The row-major twin (:func:`_place_vband_t`) keeps the
+    two-stage form: there the narrow stage runs on [16, n] (full lane
+    utilisation) and the tiles concat along SUBLANES (row copies).
     """
     vkt = vk.T                                          # [n, S]
     iv = iv0.reshape(n, 1)
-    r = iv & 7
-    q = iv >> 3
-    col16 = jax.lax.broadcasted_iota(jnp.int32, (n, 16), 1)
-    vk16 = jnp.zeros((n, 16), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), 1)
+    vb = jnp.zeros((n, lanes), jnp.float32)
     for s in range(support):
-        vk16 = jnp.where(col16 == r + s, vkt[:, s:s + 1], vk16)
-    nq = lanes // 8
-    ve_lo = jnp.concatenate([vk16[:, :8]] * nq, axis=1)
-    ve_hi = jnp.concatenate([vk16[:, 8:]] * nq, axis=1)
-    colq = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), 1) >> 3
-    return (jnp.where(colq == q, ve_lo, 0.0)
-            + jnp.where(colq == q + 1, ve_hi, 0.0))
+        vb = jnp.where(col == iv + s, vkt[:, s:s + 1], vb)
+    return vb
 
 
 @functools.partial(jax.jit, static_argnames=(
     "num_buckets", "lanes", "support", "w_support", "oversampling",
-    "w_oversampling", "block_v", "sub_v", "precision", "interpret"))
+    "w_oversampling", "block_v", "sub_v", "precision", "band_form",
+    "interpret"))
 def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
                       w_coeffs, num_buckets: int, lanes: int,
                       support: int, w_support: int, oversampling: int,
                       w_oversampling: int, block_v: int = 1024,
                       sub_v: int = 0, precision: str = "highest",
-                      nonempty=None,
+                      nonempty=None, band_form: str = "row",
                       interpret: bool = False) -> Array:
     """Fused packed gridding: bit-packed plan words -> window stack.
 
@@ -310,7 +346,8 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
             inv2_ov=np.float32(2.0 / oversampling),
             inv2_wov=np.float32(2.0 / w_oversampling),
             support=support, w_support=w_support, lanes=lanes,
-            sub_v=sub_v, precision_name=precision),
+            sub_v=sub_v, precision_name=precision,
+            band_form=band_form),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_blocks,),

@@ -500,16 +500,21 @@ _GRIDDER_CACHE_MAX = 4
 # f32 accumulate (~1e-6 taper-weighted image error, measured).
 _DEFAULT_PRECISION = "highest"
 
-# Default engine. The streamed-band kernels measure 397.7 f32 / 601.5
-# bf16 Mvis/s on the dense 4.2M-vis stream at HEAD (2026-08-20 on-chip
-# sweep) — HBM-bound at ~239 GB/s of the chip's 238 GB/s measured
-# triad — while the fused in-kernel-tap kernels measure 193.7 / 289.2:
-# their VPU tap build serializes with the MXU dot. For plan-once
-# solvers the bands are built once per plan, so the band stream is the
-# right default; the fused engine wins only where the bands would be
-# rebuilt every call (the streaming device plan, which selects it
-# explicitly).
-_DEFAULT_ENGINE = "bands"
+# Default engine (2026-08-20 on-chip sweep, dense 4.2M-vis stream):
+#
+#   grid:   fused ROW-form kernel 390-397 f32 / 422 high / 591 bf16
+#           Mvis/s at 16 B/slot — equal to the band kernel (397.7
+#           f32 / 601.5 bf16, HBM-bound at the chip's measured 238
+#           GB/s triad) with ~37x less stream/plan HBM;
+#   degrid: band kernel 390.3 vs fused 311.2 (the degrid window
+#           assembly leaves less room to hide the in-kernel tap
+#           build, which serializes with the MXU — exp_overlap.py).
+#
+# "auto" therefore routes grid through the fused-row kernel and
+# degrid through the band kernel (band arrays are built for the
+# degrid direction only); "bands"/"fused" force one formulation for
+# both directions.
+_DEFAULT_ENGINE = "auto"
 
 
 def packed_gridder(pplan: PackedPlan, fast: bool = False,
@@ -538,10 +543,9 @@ class PackedGridder:
 
     def __init__(self, pplan: PackedPlan, fast: bool = False,
                  precision: str = None, engine: str = None):
-        # engine=None -> _DEFAULT_ENGINE ("bands": HBM-bound streamed
-        # band kernels, the measured dense winner for plan-once
-        # solvers); engine="fused" selects the in-kernel-tap kernels
-        # (16 B/slot streams — the streaming-ingest engine).
+        # engine=None -> _DEFAULT_ENGINE ("auto": fused-row grid +
+        # band degrid, the measured per-direction winners); "fused" /
+        # "bands" force one formulation for both directions.
         from ..utility.device import device_put
 
         self.pplan = pplan
@@ -599,14 +603,20 @@ class PackedGridder:
         w_c = _tap_coeffs_cached(plan.w_support, plan.w_oversampling)
         self._uv_c, self._w_c = uv_c, w_c
 
-        # Fused path (the round-4 default): the kernels evaluate the
-        # taps in VMEM from two bit-packed int32 words per slot — the
-        # pre-built band arrays (~600 B/slot of per-call HBM stream,
-        # the round-3 throughput floor) disappear entirely.
-        self._fused = engine != "bands" and fused_geometry_ok(
+        # Per-direction engine selection (see _DEFAULT_ENGINE): the
+        # fused kernels evaluate taps in VMEM from two bit-packed
+        # int32 words per slot (16 B/slot streams); the band kernels
+        # stream pre-built tap bands (~600 B/slot, HBM-bound).
+        packable = fused_geometry_ok(
             plan.subgrid_size, plan.support, plan.oversampling,
             plan.w_oversampling)
-        if self._fused:
+        self._fused_grid = engine in ("auto", "fused") and packable
+        self._fused_degrid = engine == "fused" and packable
+        # Back-compat alias (introspected by tests/experiments): true
+        # only when BOTH directions run the fused kernels.
+        self._fused = self._fused_grid and self._fused_degrid
+
+        if self._fused_grid:
             pa, pb = pack_plan_words(
                 arrays["iv0"].astype(np.int32),
                 arrays["u_off"].astype(np.int32),
@@ -615,11 +625,14 @@ class PackedGridder:
                 arrays["v_frac"].astype(np.int32), arrays["valid"])
             self.pa = jnp.asarray(pa)
             self.pb = jnp.asarray(pb)
-            self.wk_t = self.ubase = self.vband = self.vband_t = None
-            self._grid_ops = (self.pa, self.pb)
-            self._degrid_ops = (self.pa, self.pb)
         else:
+            self.pa = self.pb = None
+        self.wk_t = self.ubase = self.vband = self.vband_t = None
+        if not (self._fused_grid and self._fused_degrid):
             from ..grid_data.kernels import eval_kernel_taps
+
+            need_vband = not self._fused_grid
+            need_vband_t = not self._fused_degrid
 
             def _device_bands(u_frac, v_frac, w_row, u_off, iv0, valid):
                 uk = eval_kernel_taps(u_frac, uv_c, plan.oversampling)
@@ -640,17 +653,25 @@ class PackedGridder:
                 # wk ships transposed [Sw, V]: both kernels consume
                 # the w-taps with the visibility on lanes, and the
                 # grid scale build avoids a per-call V-major relayout.
-                return wk.T, ubase, vband, vband_t
+                # Only the needed direction's band stays resident
+                # (vband alone is total * subgrid_size * 4 B).
+                return (wk.T, ubase,
+                        vband if need_vband else jnp.zeros((), jnp.float32),
+                        vband_t if need_vband_t else jnp.zeros((), jnp.float32))
 
-            (self.wk_t, self.ubase, self.vband,
-             self.vband_t) = jax.jit(_device_bands)(
-                jnp.asarray(arrays["u_frac"]),
-                jnp.asarray(arrays["v_frac"]),
-                jnp.asarray(arrays["w_row"]),
-                jnp.asarray(arrays["u_off"]),
-                jnp.asarray(arrays["iv0"]), self.valid)
-            self._grid_ops = (self.wk_t, self.ubase, self.vband)
-            self._degrid_ops = (self.wk_t, self.ubase, self.vband_t)
+            (self.wk_t, self.ubase, vband, vband_t) = \
+                jax.jit(_device_bands)(
+                    jnp.asarray(arrays["u_frac"]),
+                    jnp.asarray(arrays["v_frac"]),
+                    jnp.asarray(arrays["w_row"]),
+                    jnp.asarray(arrays["u_off"]),
+                    jnp.asarray(arrays["iv0"]), self.valid)
+            self.vband = vband if need_vband else None
+            self.vband_t = vband_t if need_vband_t else None
+        self._grid_ops = ((self.pa, self.pb) if self._fused_grid
+                          else (self.wk_t, self.ubase, self.vband))
+        self._degrid_ops = ((self.pa, self.pb) if self._fused_degrid
+                            else (self.wk_t, self.ubase, self.vband_t))
 
         # Shared w-pattern ladders + per-task prefactors (host numpy
         # c128 -> device via re/im-plane transfer; jit constants must
@@ -715,7 +736,7 @@ class PackedGridder:
     def _stage_kernel(self, vre, vim, ops, block_bucket):
         pplan = self.pplan
         plan = pplan.wplan
-        if self._fused:
+        if self._fused_grid:
             pa, pb = ops
             return grid_fused_pallas(
                 block_bucket, pa, pb, vre, vim, self._uv_c, self._w_c,
@@ -819,7 +840,7 @@ class PackedGridder:
         # intermediate).
         plan = self.pplan.wplan
         p_idx, g_idx, hv_idx = block_bucket
-        if self._fused:
+        if self._fused_degrid:
             pa, pb = ops
             return degrid_fused2_pallas(
                 st, p_idx, g_idx, hv_idx, pa, pb, self._uv_c,
@@ -1102,7 +1123,7 @@ class PackedGridder:
 
             def body(vre_c, vim_c, ops, bb_loc_c,
                      t0_c, iu_c, iv_c, pl_c, vm_c, ladder, pref_pad):
-                if self._fused:
+                if self._fused_grid:
                     pa_c, pb_c = ops
                     wins = grid_fused_pallas(
                         bb_loc_c, pa_c, pb_c, vre_c, vim_c, self._uv_c,
@@ -1154,7 +1175,7 @@ class PackedGridder:
                 planes = jax.lax.psum(planes, axis_name)
                 return _planes_to_image(kernel, planes, w_offsets)
 
-            ops_specs = ((P(axis_name), P(axis_name)) if self._fused
+            ops_specs = ((P(axis_name), P(axis_name)) if self._fused_grid
                          else (P(None, axis_name), P(None, axis_name),
                                P(axis_name)))
             fn = jax.jit(jax.shard_map(
@@ -1229,7 +1250,7 @@ class PackedGridder:
                 st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8),
                                   (0, 0)))
                 st = st.reshape(2, tp * pplan.num_layers, sgs + 8, sgs)
-                if self._fused:
+                if self._fused_degrid:
                     pa_c, pb_c = ops
                     return degrid_fused2_pallas(
                         st, p_loc_c, g_c, hv_c, pa_c, pb_c, self._uv_c,
@@ -1243,7 +1264,7 @@ class PackedGridder:
                     plan.w_support, block_v=pplan.block_v,
                     fast=self.fast, interpret=self.interpret)
 
-            ops_specs = ((P(axis_name), P(axis_name)) if self._fused
+            ops_specs = ((P(axis_name), P(axis_name)) if self._fused_degrid
                          else (P(None, axis_name), P(None, axis_name),
                                P(None, axis_name)))
             fn = jax.jit(jax.shard_map(
