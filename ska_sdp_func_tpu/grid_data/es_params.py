@@ -147,6 +147,18 @@ def calculate_params_from_epsilon(
     (sdp_gridder_uvw_es_fft.cpp:316-323 limits epsilon >= 1e-12
     double / 1e-5 float; infeasible combinations surface here).
     """
+    # The reference rejects epsilons below what each precision's
+    # execution can deliver (sdp_gridder_uvw_es_fft.cpp:316-323):
+    # >= 1e-5 single, >= 1e-12 double. Without this cut the analytic
+    # search can return kernels promising accuracies the f32 pipeline
+    # cannot meet.
+    eps_floor = 1e-5 if single_precision else 1e-12
+    if not epsilon >= eps_floor:
+        raise ValueError(
+            f"epsilon={epsilon:g} below the "
+            f"{'single' if single_precision else 'double'}-precision "
+            f"floor {eps_floor:g} (reference bound, "
+            "sdp_gridder_uvw_es_fft.cpp:316-323)")
     max_support = 8 if single_precision else 16
     best = None  # (grid_size, support, sigma)
     if sigma is None:

@@ -34,12 +34,14 @@ Precision modes (``precision=``):
   path);
 * ``"high"``    — MANUAL bf16 hi/lo operand split + three single-pass
   bf16 MXU dots with f32 accumulate (``a_hi@b_hi + a_hi@b_lo +
-  a_lo@b_hi``; the dropped ``lo@lo`` term is O(2^-32)).  Mosaic's
-  Pallas lowering rejects ``jax.lax.Precision.HIGH`` outright
-  (NotImplementedError, measured on-chip 2026-08-20), so the split is
-  spelled out as explicit dots.  Operand representation is ~16
-  mantissa bits => ~1e-5 relative dot error — an order below the f32
-  path's own 2.5e-4-of-peak oracle envelope;
+  a_lo@b_hi``; the dropped ``lo@lo`` term is ~2^-18 relative — the
+  product of two ~2^-9-relative lo parts).  Mosaic's Pallas lowering
+  rejects ``jax.lax.Precision.HIGH`` outright (NotImplementedError,
+  measured on-chip 2026-08-20), so the split is spelled out as
+  explicit dots.  Operand representation is ~16 mantissa bits
+  (~1.5e-5 per-element); dot averaging lands the measured error at
+  ~1.4e-6 taper-weighted image level — an order below the f32 path's
+  own 2.5e-4-of-peak oracle envelope;
 * ``"bf16"``    — bf16 operands, single-pass MXU (~2e-3 kernel
   accuracy; the opt-in ``fast=True`` mode).
 

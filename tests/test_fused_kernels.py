@@ -1,9 +1,14 @@
 """Fused (in-kernel tap evaluation) grid/degrid kernels vs the
 streamed-band packed kernels.
 
-The fused kernels are the streaming engine (plan-once drivers default
-to the band engine since the 2026-08-20 sweep), and the streaming
-suite exercises them end-to-end; here the kernels are pinned DIRECTLY
+The fused kernels are the streaming engine and, since the round-4 v2
+sweep, also the plan-once GRID default: ``engine="auto"`` routes grid
+through the fused ROW-form kernel (390-397 f32 Mvis/s at 16 B/slot,
+matching the HBM-bound band kernel with ~37x less stream traffic) and
+degrid through the band kernel (band 390 vs fused 311 — the window
+assembly leaves no room to hide the serialized tap build).  The
+streaming suite exercises them end-to-end; here the kernels are pinned
+DIRECTLY
 against the band-streaming formulation on the same plan, plus the
 word packing round-trip and the "high" (manual bf16-split) accuracy
 budget.  The comparison is tolerance-based, not bit-exact: the fused
