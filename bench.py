@@ -117,12 +117,18 @@ def _measure_rooflines(red):
     x = tri(x)
     _ = float(red(x))
     iters = 20
-    for _loop in range(2):
+    dts = []
+    for _loop in range(4):            # first loop warms; keep best 3
         t0 = time.perf_counter()
         for _i in range(iters):
             x = tri(x)
         _ = float(red(x))
-        dt = (time.perf_counter() - t0) / iters
+        dts.append((time.perf_counter() - t0) / iters)
+    # Best-of: the probe only ever UNDER-reads (tunnel stalls add
+    # time); the fastest loop is closest to the chip's true bandwidth.
+    # BENCH_r04's 226-vs-238 GB/s single-shot underread skewed every
+    # roofline that round.
+    dt = min(dts[1:])
     hbm_gbps = 2.0 * 4.0 * n / dt / 1e9
     del x
 
@@ -137,19 +143,38 @@ def _measure_rooflines(red):
 
     y = mm(a, a)
     _ = float(red(y[:1, :8]))
-    for _loop in range(2):
+    mdts = []
+    for _loop in range(3):
         t0 = time.perf_counter()
         for _i in range(iters):
             y = mm(a, y)
         _ = float(red(y[:1, :8]))
-        mdt = (time.perf_counter() - t0) / iters
-    mxu_tflops = 2.0 * m ** 3 / mdt / 1e12
+        mdts.append((time.perf_counter() - t0) / iters)
+    mxu_tflops = 2.0 * m ** 3 / min(mdts[1:]) / 1e12
     return hbm_gbps, mxu_tflops
 
 
-def _attainable_mvis(pplan, w_support, num_vis, hbm_gbps, mxu_tflops,
+def _grid_stream_bytes_per_slot(g) -> float:
+    """HBM bytes streamed per padded stream slot by the SHIPPING grid
+    kernel, derived from the gridder's ACTUAL engine configuration (not
+    a hard-coded formulation — BENCH_r04 published an impossible
+    ratio > 1 because the byte model assumed the band stream while the
+    'auto' engine routed grid through the 16 B/slot fused-row kernel).
+    """
+    if g._fused_grid:
+        # pa + pb plan words + vre + vim, 4 B each (fused_tap.py).
+        return 16.0
+    # Band engine (packed_tap.py, split-scales form): ubase [16, V]
+    # + vband [V, lanes] + wk_t [Sw, V] + vre/vim.
+    sw = g.pplan.wplan.w_support
+    lanes = g.pplan.wplan.subgrid_size
+    vband_b = 2.0 if g.fast else 4.0          # bf16 fast mode
+    return 16 * 4.0 + lanes * vband_b + sw * 4.0 + 8.0
+
+
+def _attainable_mvis(pplan, g, num_vis, hbm_gbps, mxu_tflops,
                      lanes: int = 128):
-    """(speed_of_light, band_roofline) Mvis/s on this chip.
+    """(speed_of_light, engine_roofline) Mvis/s on this chip.
 
     ``speed_of_light``: the algorithm-level bound — the packed dot
     costs 2 * (2*w_support*16) * lanes FLOP per padded slot, and the
@@ -157,13 +182,12 @@ def _attainable_mvis(pplan, w_support, num_vis, hbm_gbps, mxu_tflops,
     words + the per-bucket window writes; no formulation beats
     ``1 / max(t_flop, t_mem_min)``.
 
-    ``band_roofline``: the bandwidth bound of the SHIPPING band-stream
-    formulation (kernels/packed_tap.py), which streams ~(4*lanes + 96)
-    B per padded slot of pre-built bands — the engine measured AT this
-    bound (397.7 Mvis/s vs 238 GB/s triad, 2026-08-20), i.e. the
-    shipping kernel saturates its formulation's roofline; further
-    gains need fewer bytes, not better scheduling.
+    ``engine_roofline``: the bandwidth bound of the kernel ACTUALLY
+    SHIPPING in this gridder (see :func:`_grid_stream_bytes_per_slot`).
+    ``main`` asserts measured <= engine_roofline: a ratio above 1 means
+    the byte model lost track of the engine and the bench is invalid.
     """
+    w_support = g.pplan.wplan.w_support
     pad = pplan.total / float(num_vis)
     win_rows = 2 * w_support * 16
     flops_per_vis = 2.0 * win_rows * lanes * pad
@@ -172,9 +196,33 @@ def _attainable_mvis(pplan, w_support, num_vis, hbm_gbps, mxu_tflops,
     t_flop = flops_per_vis / (mxu_tflops * 1e12)
     t_mem = bytes_min / (hbm_gbps * 1e9)
     sol = 1e-6 / max(t_flop, t_mem)
-    band_bytes = (4.0 * lanes + 96.0) * pad + win_bytes / float(num_vis)
-    band = 1e-6 / max(t_flop, band_bytes / (hbm_gbps * 1e9))
-    return sol, band
+    eng_bytes = (_grid_stream_bytes_per_slot(g) * pad
+                 + win_bytes / float(num_vis))
+    eng = 1e-6 / max(t_flop, eng_bytes / (hbm_gbps * 1e9))
+    return sol, eng
+
+
+def _measure(step, finish, iters: int, n_meas: int = 3):
+    """Median + relative spread of ``n_meas`` timed loops.
+
+    ``step()`` runs one chained iteration (must feed previous output
+    into the next input — the tunnel memoises identical executions);
+    ``finish()`` performs the device->host readback that closes the
+    pipeline (``block_until_ready`` returns early on pipelined
+    chains). One extra leading loop warms the pipeline to steady state
+    and is discarded. Returns (median_dt, spread) where spread =
+    (max - min) / median over the measured loops.
+    """
+    dts = []
+    for _m in range(n_meas + 1):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            step()
+        finish()
+        dts.append((time.perf_counter() - t0) / iters)
+    dts = sorted(dts[1:])
+    med = dts[len(dts) // 2]
+    return med, (dts[-1] - dts[0]) / med
 
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_last.json")
@@ -208,6 +256,90 @@ def _emit_stale(reason: str) -> None:
     print(json.dumps(result))
 
 
+def _smoke(verbose: bool = True) -> dict:
+    """On-chip smoke of every Pallas kernel family (VERDICT r4 #8).
+
+    Round 4's ship-stopper (Mosaic rejecting a 1-D stream block spec)
+    passed every CPU/interpret test and failed only on the real chip —
+    interpret mode does not check Mosaic block rules. This runs one
+    minimal pallas_call through each kernel family ON CHIP: band
+    grid/degrid, fused-row grid, fused2 degrid (at every precision
+    mode), the fold kernels (inside any grid call), and the streaming
+    place-DMA path. Runs as bench preflight and standalone via
+    ``python bench.py --smoke``. Raises on any failure.
+    """
+    from ska_sdp_func_tpu.parallel import (
+        StreamingGridder,
+        plan_stream,
+        plan_wstack,
+        stream_tasks,
+    )
+    from ska_sdp_func_tpu.parallel.packed import (
+        packed_gridder,
+        plan_packed,
+    )
+    from ska_sdp_func_tpu.utility.device import device_put
+
+    rng = np.random.default_rng(5)
+    rows, chans, image, subgrid = 512, 4, 256, 128
+    uvw = rng.uniform(-1, 1, (rows, 3))
+    uvw[:, :2] *= 0.4 * image / 2 / THETA
+    uvw[:, 2] *= 1.2 * W_STEP * HEIGHT
+    vis = (rng.standard_normal((rows, chans))
+           + 1j * rng.standard_normal((rows, chans))
+           ).astype(np.complex64)
+    plan = plan_wstack(uvw, C_0, C_0 / (100 * chans), chans, image,
+                       subgrid, THETA, W_STEP, support=8, w_support=4,
+                       w_tower_height=HEIGHT)
+    pplan = plan_packed(plan, uvw, block_v=128)
+    red = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+    redc = jax.jit(lambda x: jnp.sum(jnp.abs(x.real) + jnp.abs(x.imag)))
+    visd = device_put(vis)
+    passed = []
+
+    def check(name, val):
+        if not np.isfinite(val):
+            raise AssertionError(f"smoke {name}: non-finite result")
+        passed.append(name)
+        if verbose:
+            print(f"# smoke ok: {name}", file=sys.stderr)
+
+    # Degrid a bounded point-source model, NOT the raw dirty image:
+    # the 1/PSWF grid correction amplifies the image border without
+    # bound (absmax ~1e23 on this toy scenario), which overflows the
+    # f32 degrid correction — an artifact of chaining raw images, not
+    # a kernel property.
+    model = jnp.zeros((image, image), jnp.float32).at[150, 100].set(1.0)
+    cases = [("bands", "highest"), ("fused", "highest"),
+             ("fused", "high"), ("fused", "bf16")]
+    for engine, precision in cases:
+        gs = packed_gridder(pplan, engine=engine, precision=precision)
+        img = gs.grid(visd)
+        check(f"grid[{engine},{precision}]", float(red(img)))
+        vs = gs.degrid_sorted(model)
+        check(f"degrid[{engine},{precision}]", float(redc(vs)))
+
+    # Streaming step: covers the place-DMA kernel, the device plan
+    # (key sort + placement) and the fused kernels in stream form.
+    sp = plan_stream(plan, stream_tasks(plan, uvw), chunk_rows=rows,
+                     block_v=128, cap_factor=40.0)
+    se = StreamingGridder(sp)._engine
+    state = (jnp.zeros((image, image), jnp.float32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32))
+    state = se.step(*state, jnp.asarray(uvw.astype(np.float32)),
+                    jnp.asarray(np.ones(rows, bool)),
+                    jnp.asarray(vis.real.astype(np.float32)),
+                    jnp.asarray(vis.imag.astype(np.float32)))
+    check("streaming_step", float(red(state[0])))
+    if int(state[2]) != 0 or int(state[3]) != 0:
+        raise AssertionError("smoke streaming_step: dropped/overflow "
+                             f"counters nonzero ({int(state[2])}, "
+                             f"{int(state[3])})")
+    return {"smoke": "ok", "families": passed,
+            "backend": jax.default_backend()}
+
+
 def main():
     if not wait_for_chip():
         _emit_stale("tpu tunnel unreachable (probe subprocess kept "
@@ -225,6 +357,12 @@ def main():
         make_psf_plan,
     )
     from ska_sdp_func_tpu.utility.device import device_put
+
+    # Preflight: one minimal on-chip pallas_call per kernel family —
+    # Mosaic lowering failures (round 4's ship-stopper class) surface
+    # here in seconds instead of poisoning the measured runs.
+    _smoke(verbose=False)
+    print("# smoke preflight ok", file=sys.stderr)
 
     rng = np.random.default_rng(1)
     uvw = rng.uniform(-1, 1, (ROWS, 3))
@@ -248,34 +386,35 @@ def main():
                                    + jnp.float32(1e-6) * jnp.tanh(s)))
 
     # ---- whole-image grid ------------------------------------------
-    # The tunnel pipeline needs ~20 chained executions to reach steady
-    # state; run one throwaway loop, then measure.
+    # Every metric: median of 3 timed loops + relative spread
+    # (VERDICT r4 #2 — single-shot measurements hid a 5% tunnel
+    # variance behind an unexplained cross-round regression).
     img = g.grid_sorted(vre0, vim0)
     _ = float(red(img))                        # compile + settle
     iters = 20
-    vre = vre0
-    for _loop in range(2):
-        t0 = time.perf_counter()
-        for _i in range(iters):
-            img = g.grid_sorted(vre, vim0)
-            vre = fb(vre, red(img))
-        _ = float(red(img))
-        grid_dt = (time.perf_counter() - t0) / iters
+    state = {"vre": vre0, "img": img}
+
+    def grid_step():
+        state["img"] = g.grid_sorted(state["vre"], vim0)
+        state["vre"] = fb(state["vre"], red(state["img"]))
+
+    grid_dt, grid_spread = _measure(
+        grid_step, lambda: float(red(state["img"])), iters)
     grid_mvis = num_vis / grid_dt / 1e6
 
     # ---- whole-image degrid ----------------------------------------
     model = jnp.zeros((IMAGE, IMAGE), jnp.float32).at[300, 200].set(1.0)
     vs = g.degrid_sorted(model)
     _ = float(redc(vs))
-    s = None
-    for _loop in range(2):
-        t0 = time.perf_counter()
-        for _i in range(iters):
-            vs = g.degrid_sorted(model)
-            s = redc(vs)
-            model = fb(model, s)
-        _ = float(s)
-        degrid_dt = (time.perf_counter() - t0) / iters
+    dstate = {"model": model, "s": None}
+
+    def degrid_step():
+        vs = g.degrid_sorted(dstate["model"])
+        dstate["s"] = redc(vs)
+        dstate["model"] = fb(dstate["model"], dstate["s"])
+
+    degrid_dt, degrid_spread = _measure(
+        degrid_step, lambda: float(dstate["s"]), iters)
     degrid_mvis = num_vis / degrid_dt / 1e6
 
     # ---- major-cycle iteration rate --------------------------------
@@ -299,16 +438,16 @@ def main():
         delta, _resid = _minor_cycle(dirty, psf, 0.1, stop, 50)
         return upd(model, delta)
 
-    model = jnp.zeros((IMAGE, IMAGE), jnp.float32)
-    model = step(model)                        # compile
-    _ = float(red(model))
-    iters_mc = 10
-    for _loop in range(2):
-        t0 = time.perf_counter()
-        for _i in range(iters_mc):
-            model = step(model)                # naturally chained
-        _ = float(red(model))
-        mc_dt = (time.perf_counter() - t0) / iters_mc
+    mstate = {"model": jnp.zeros((IMAGE, IMAGE), jnp.float32)}
+    mstate["model"] = step(mstate["model"])    # compile
+    _ = float(red(mstate["model"]))
+
+    def mc_step():
+        mstate["model"] = step(mstate["model"])   # naturally chained
+
+    mc_dt, mc_spread = _measure(
+        mc_step, lambda: float(red(mstate["model"])), 10)
+    model = mstate["model"]
 
     if os.environ.get("SKA_SDP_FUNC_TPU_BENCH_REPORT"):
         g.report_timing(vre0, vim0,
@@ -327,29 +466,31 @@ def main():
                          w_support=4, w_tower_height=HEIGHT)
     pplan_d = plan_packed(plan_d, uvw)
     gd = packed_gridder(pplan_d)
-    dre, dim = gd.sort(device_put(vis_d))
-    img_d = gd.grid_sorted(dre, dim)
+    dre0, dim = gd.sort(device_put(vis_d))
+    img_d = gd.grid_sorted(dre0, dim)
     _ = float(red(img_d))
-    for _loop in range(2):
-        t0 = time.perf_counter()
-        for _i in range(10):
-            img_d = gd.grid_sorted(dre, dim)
-            dre = fb(dre, red(img_d))
-        _ = float(red(img_d))
-        dense_dt = (time.perf_counter() - t0) / 10
+    dn = {"dre": dre0, "img": img_d}
+
+    def dense_step():
+        dn["img"] = gd.grid_sorted(dn["dre"], dim)
+        dn["dre"] = fb(dn["dre"], red(dn["img"]))
+
+    dense_dt, dense_spread = _measure(
+        dense_step, lambda: float(red(dn["img"])), 10)
     dense_mvis = nvis_d / dense_dt / 1e6
 
     # ---- opt-in bf16 fast mode on the dense stream -----------------
     gf = packed_gridder(pplan_d, fast=True)
-    img_f = gf.grid_sorted(dre, dim)
+    img_f = gf.grid_sorted(dn["dre"], dim)
     _ = float(red(img_f))
-    for _loop in range(2):
-        t0 = time.perf_counter()
-        for _i in range(10):
-            img_f = gf.grid_sorted(dre, dim)
-            dre = fb(dre, red(img_f))
-        _ = float(red(img_f))
-        fast_dt = (time.perf_counter() - t0) / 10
+    fs = {"dre": dn["dre"], "img": img_f}
+
+    def fast_step():
+        fs["img"] = gf.grid_sorted(fs["dre"], dim)
+        fs["dre"] = fb(fs["dre"], red(fs["img"]))
+
+    fast_dt, _fast_spread = _measure(
+        fast_step, lambda: float(red(fs["img"])), 10)
     fast_mvis = nvis_d / fast_dt / 1e6
 
     # ---- streaming ingest (device-planned) on the dense stream -----
@@ -378,31 +519,48 @@ def main():
 
     # ---- chip-honest attainable rate (VERDICT r3 #6) ----------------
     hbm_gbps, mxu_tflops = _measure_rooflines(red)
-    att_head, att_head_band = _attainable_mvis(
-        pplan, plan.w_support, num_vis, hbm_gbps, mxu_tflops)
-    att_dense, att_dense_band = _attainable_mvis(
-        pplan_d, plan_d.w_support, nvis_d, hbm_gbps, mxu_tflops)
+    att_head, att_head_eng = _attainable_mvis(
+        pplan, g, num_vis, hbm_gbps, mxu_tflops)
+    att_dense, att_dense_eng = _attainable_mvis(
+        pplan_d, gd, nvis_d, hbm_gbps, mxu_tflops)
+
+    # A measured rate above the shipping engine's own roofline means
+    # the byte model lost track of the engine configuration (the
+    # BENCH_r04 failure mode) — the bench result would be meaningless,
+    # so fail loudly instead of publishing it.
+    if dense_mvis > att_dense_eng * 1.02:
+        raise AssertionError(
+            f"dense grid {dense_mvis:.1f} Mvis/s exceeds its own "
+            f"engine roofline {att_dense_eng:.1f} "
+            f"({_grid_stream_bytes_per_slot(gd):.0f} B/slot, "
+            f"{hbm_gbps:.0f} GB/s): the byte model no longer matches "
+            "the engine — fix _grid_stream_bytes_per_slot")
 
     _emit({
         "metric": "gridding_throughput",
         "value": round(grid_mvis, 3),
         "unit": "Mvis/s",
         "vs_baseline": round(grid_mvis / 1000.0, 4),
+        "value_spread": round(grid_spread, 4),
         "vs_attainable": round(grid_mvis / att_head, 4),
         "attainable_mvis_s": round(att_head, 1),
         "dense_vs_attainable": round(dense_mvis / att_dense, 4),
         "dense_attainable_mvis_s": round(att_dense, 1),
-        "band_roofline_mvis_s": round(att_dense_band, 1),
-        "dense_vs_band_roofline": round(dense_mvis / att_dense_band,
-                                        4),
+        "engine_roofline_mvis_s": round(att_dense_eng, 1),
+        "dense_vs_engine_roofline": round(dense_mvis / att_dense_eng,
+                                          4),
+        "grid_engine": "fused-row" if gd._fused_grid else "bands",
         "hbm_gbps": round(hbm_gbps, 1),
         "mxu_tflops": round(mxu_tflops, 2),
         "scenario": "whole-image 512^2, %d tasks, %d w-planes, %.2gM vis"
                     % (len(pplan.tasks), len(pplan.w_plane_ids),
                        num_vis / 1e6),
         "degrid_mvis_s": round(degrid_mvis, 3),
+        "degrid_spread": round(degrid_spread, 4),
         "major_cycle_iters_s": round(1.0 / mc_dt, 3),
+        "major_cycle_spread": round(mc_spread, 4),
         "dense_grid_mvis_s": round(dense_mvis, 3),
+        "dense_spread": round(dense_spread, 4),
         "dense_fast_grid_mvis_s": round(fast_mvis, 3),
         "dense_scenario": "whole-image 512^2, %.2gM vis, block %d"
                           % (nvis_d / 1e6, dense_block_v),
@@ -467,5 +625,11 @@ def _stream_child():
 if __name__ == "__main__":
     if "--stream-child" in sys.argv:
         _stream_child()
+    elif "--smoke" in sys.argv:
+        if not wait_for_chip():
+            print(json.dumps({"smoke": "skipped",
+                              "reason": "chip unreachable"}))
+        else:
+            print(json.dumps(_smoke()))
     else:
         main()
