@@ -61,7 +61,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed_tap import WIN_ROWS, _VMEM_LIMIT, _clenshaw_rows
+from .packed_tap import WIN_ROWS, _VMEM_LIMIT, _clenshaw_rows, \
+    _stack_accumulate
 
 Array = jax.Array
 
@@ -213,53 +214,70 @@ def _prep_common(pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support):
     return ub, wk, vk, iv0, valid.astype(jnp.float32)
 
 
+def _block_contrib(cuv_ref, cw_ref, pa_ref, pb_ref, vre_ref, vim_ref,
+                   *, inv2_ov, inv2_wov, support: int, w_support: int,
+                   lanes: int, sub_v: int, precision_name: str,
+                   band_form: str):
+    """One block's window contribution [2*w_support*16, lanes].
+
+    Shared by the per-bucket window kernel and the per-task stack
+    kernel.  band_form="row" (default): the v-band is built in the
+    cheap ROW-major two-stage form and the MXU consumes it through a
+    B-transposed dot_general — MEASURED 390-397 Mvis/s f32 / 422
+    high / 591 bf16 on the dense 4.2M stream (2026-08-20), equal to
+    the HBM-bound band kernel at 16 B/slot instead of ~600. "col"
+    (the original form, 163.5 Mvis/s) is kept for comparison only.
+    """
+    num_p = 2 * w_support
+    block_v = pa_ref.shape[1]
+    c_uv, c_w = cuv_ref[:], cw_ref[:]
+    contrib = jnp.zeros((num_p * WIN_ROWS, lanes), jnp.float32)
+    for i in range(block_v // sub_v):
+        sl = pl.ds(i * sub_v, sub_v)
+        pa = pa_ref[0, sl]
+        pb = pb_ref[0, sl]
+        ub, wk, vk, iv0, _valid = _prep_common(
+            pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support)
+        vre = vre_ref[0, sl]
+        vim = vim_ref[0, sl]
+        # u_all rows j*16+r: (re if j < Sw else im) scale of layer
+        # j % Sw times the placed u-taps (packed_tap row layout).
+        u_all = jnp.concatenate(
+            [ub * (wk[j] * vre)[None, :] for j in range(w_support)]
+            + [ub * (wk[j] * vim)[None, :]
+               for j in range(w_support)],
+            axis=0)                                 # [num_p*16, n]
+        if band_form == "row":
+            # Row-form band (cheap two-stage placement) + a
+            # B-transposed MXU contraction.
+            vbt = _place_vband_t(vk, iv0, sub_v, lanes, support)
+            contrib = contrib + _dot_prec_nt(u_all, vbt,
+                                             precision_name)
+        else:
+            vb = _place_vband(vk, iv0, sub_v, lanes, support)
+            contrib = contrib + _dot_prec(u_all, vb,
+                                          precision_name)
+    return contrib
+
+
 def _grid_fused_kernel(bucket_ref, nonempty_ref, cuv_ref, cw_ref,
                        pa_ref, pb_ref, vre_ref, vim_ref, out_ref, *,
                        inv2_ov, inv2_wov, support: int, w_support: int,
                        lanes: int, sub_v: int, precision_name: str,
                        band_form: str = "row"):
-    # band_form="row" (default): the v-band is built in the cheap
-    # ROW-major two-stage form and the MXU consumes it through a
-    # B-transposed dot_general — MEASURED 390-397 Mvis/s f32 / 422
-    # high / 591 bf16 on the dense 4.2M stream (2026-08-20), equal to
-    # the HBM-bound band kernel at 16 B/slot instead of ~600. "col"
-    # (the original form, 163.5 Mvis/s) is kept for comparison only.
     b = pl.program_id(0)
     prev = bucket_ref[jnp.maximum(b - 1, 0)]
     first = jnp.logical_or(b == 0, prev != bucket_ref[b])
     num_p = 2 * w_support
-    block_v = pa_ref.shape[1]
     occupied = nonempty_ref[b] != 0
 
     @pl.when(occupied)
     def _():
-        c_uv, c_w = cuv_ref[:], cw_ref[:]
-        contrib = jnp.zeros((num_p * WIN_ROWS, lanes), jnp.float32)
-        for i in range(block_v // sub_v):
-            sl = pl.ds(i * sub_v, sub_v)
-            pa = pa_ref[0, sl]
-            pb = pb_ref[0, sl]
-            ub, wk, vk, iv0, _valid = _prep_common(
-                pa, pb, c_uv, c_w, inv2_ov, inv2_wov, support)
-            vre = vre_ref[0, sl]
-            vim = vim_ref[0, sl]
-            # u_all rows j*16+r: (re if j < Sw else im) scale of layer
-            # j % Sw times the placed u-taps (packed_tap row layout).
-            u_all = jnp.concatenate(
-                [ub * (wk[j] * vre)[None, :] for j in range(w_support)]
-                + [ub * (wk[j] * vim)[None, :]
-                   for j in range(w_support)],
-                axis=0)                                 # [num_p*16, n]
-            if band_form == "row":
-                # Row-form band (cheap two-stage placement) + a
-                # B-transposed MXU contraction.
-                vbt = _place_vband_t(vk, iv0, sub_v, lanes, support)
-                contrib = contrib + _dot_prec_nt(u_all, vbt,
-                                                 precision_name)
-            else:
-                vb = _place_vband(vk, iv0, sub_v, lanes, support)
-                contrib = contrib + _dot_prec(u_all, vb,
-                                              precision_name)
+        contrib = _block_contrib(
+            cuv_ref, cw_ref, pa_ref, pb_ref, vre_ref, vim_ref,
+            inv2_ov=inv2_ov, inv2_wov=inv2_wov, support=support,
+            w_support=w_support, lanes=lanes, sub_v=sub_v,
+            precision_name=precision_name, band_form=band_form)
         contrib = contrib.reshape(num_p, WIN_ROWS, lanes)
 
         @pl.when(first)
@@ -375,6 +393,115 @@ def grid_fused_pallas(bucket_ids, pa, pb, vre, vim, uv_coeffs,
       vim.reshape(1, total))
 
 
+def _grid_stack_kernel(t_ref, k_ref, g_ref, nonempty_ref, cuv_ref,
+                       cw_ref, pa_ref, pb_ref, vre_ref, vim_ref,
+                       out_ref, *, inv2_ov, inv2_wov, support: int,
+                       w_support: int, lanes: int, sub_v: int,
+                       sub_pad: int, precision_name: str,
+                       band_form: str = "row"):
+    b = pl.program_id(0)
+    prev = t_ref[jnp.maximum(b - 1, 0)]
+    first = jnp.logical_or(b == 0, prev != t_ref[b])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(nonempty_ref[b] != 0)
+    def _():
+        contrib = _block_contrib(
+            cuv_ref, cw_ref, pa_ref, pb_ref, vre_ref, vim_ref,
+            inv2_ov=inv2_ov, inv2_wov=inv2_wov, support=support,
+            w_support=w_support, lanes=lanes, sub_v=sub_v,
+            precision_name=precision_name, band_form=band_form)
+        _stack_accumulate(out_ref, contrib, k_ref[b], g_ref[b] * 8,
+                          w_support, sub_pad)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tasks", "num_layers", "lanes", "support", "w_support",
+    "oversampling", "w_oversampling", "block_v", "sub_v", "precision",
+    "band_form", "interpret"))
+def grid_fused_stack_pallas(t_idx, k_idx, g_idx, pa, pb, vre, vim,
+                            uv_coeffs, w_coeffs, num_tasks: int,
+                            num_layers: int, lanes: int, support: int,
+                            w_support: int, oversampling: int,
+                            w_oversampling: int, block_v: int = 1024,
+                            sub_v: int = 0, precision: str = "highest",
+                            nonempty=None, band_form: str = "row",
+                            interpret: bool = False) -> Array:
+    """Fused gridding v3: accumulate whole per-TASK tower stacks in
+    VMEM instead of per-bucket 16-row windows in HBM.
+
+    The per-bucket window formulation writes ``num_buckets`` x 64 KB
+    of windows that a separate fold pass then re-reads — on the
+    1M-vis whole-image scenario that is ~250 MB written + read per
+    call (~240 B/vis of pure window traffic), the dominant fixed cost
+    of the headline driver (BENCH_r04: whole-image at 0.48x its own
+    dense kernel rate).  Here each block's [2*w_support*16, lanes]
+    contribution is accumulated straight into a resident
+    ``[2, num_layers*(lanes+8), lanes]`` VMEM buffer holding the
+    task's full tower stack (re/im planes, u rows padded by 8 for the
+    last octet's overhang), flushed ONCE per task — the window HBM
+    traffic drops to ``num_tasks * 2 * num_layers * (lanes+8) * lanes
+    * 4`` bytes (~4.5x less on the headline) and the fold pass
+    disappears.
+
+    Requires blocks sorted task-major (the packed plan's bucket order
+    ``(task, slab, octet)`` guarantees it).  t_idx/k_idx/g_idx: [NB]
+    int32 per-block task / w-slab / u-octet.  Returns
+    ``[num_tasks, 2, num_layers*(lanes+8), lanes]`` f32; rows
+    ``[lanes:lanes+8)`` of each layer are always zero (taps end at
+    u = lanes).  Reference role: the per-subgrid accumulation of
+    sdp_gridder_wtower_uvw.cu:240-241, with the task's whole tower
+    resident on-core instead of atomicAdd'd in HBM.
+    """
+    total = pa.shape[0]
+    num_blocks = total // block_v
+    sub_pad = lanes + 8
+    if not sub_v:
+        sub_v = min(block_v, 512)
+    c_uv = jnp.asarray(uv_coeffs, jnp.float32)
+    c_w = jnp.asarray(w_coeffs, jnp.float32)
+    if nonempty is None:
+        nonempty = jnp.ones((num_blocks,), jnp.int32)
+    vec = pl.BlockSpec((1, block_v), lambda b, t, k, g, ne: (0, b),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _grid_stack_kernel,
+            inv2_ov=np.float32(2.0 / oversampling),
+            inv2_wov=np.float32(2.0 / w_oversampling),
+            support=support, w_support=w_support, lanes=lanes,
+            sub_v=sub_v, sub_pad=sub_pad, precision_name=precision,
+            band_form=band_form),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(c_uv.shape,
+                             lambda b, t, k, g, ne: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(c_w.shape,
+                             lambda b, t, k, g, ne: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec, vec, vec, vec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2, num_layers * sub_pad, lanes),
+                lambda b, t, k, g, ne: (t[b], 0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tasks, 2, num_layers * sub_pad, lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(t_idx, k_idx, g_idx, nonempty, c_uv, c_w,
+      pa.reshape(1, total), pb.reshape(1, total),
+      vre.reshape(1, total), vim.reshape(1, total))
+
+
 def _place_vband_t(vk, iv0, n: int, lanes: int, support: int):
     """Row-major twin of :func:`_place_vband`: vk [S, n] placed at
     sublane offsets iv0 -> [lanes, n] (vis on lanes)."""
@@ -418,12 +545,6 @@ def _degrid_fused_body(quads, out_ref, cuv_ref, cw_ref, pa_ref,
                        pb_ref, *, inv2_ov, inv2_wov, support: int,
                        w_support: int, n_vq: int, sub_v: int,
                        precision_name: str):
-    c_uv, c_w = cuv_ref[:], cw_ref[:]
-    lanes = n_vq * 128
-    block_v = pa_ref.shape[1]
-    bf16 = precision_name == "bf16"
-    half = w_support * WIN_ROWS
-
     # Window assembly from the aligned (8-row, 128-lane) quadrant
     # tiles (identical to packed_tap._degrid_fused_kernel; consecutive
     # blocks of the same bucket re-use the resident tiles).
@@ -437,6 +558,21 @@ def _degrid_fused_body(quads, out_ref, cuv_ref, cw_ref, pa_ref,
     win = jnp.concatenate(
         [jnp.concatenate([top[ri], bot[ri]], axis=0)
          for ri in range(2) for (top, bot) in row16], axis=0)
+    _degrid_fused_core(win, out_ref, cuv_ref, cw_ref, pa_ref, pb_ref,
+                       inv2_ov=inv2_ov, inv2_wov=inv2_wov,
+                       support=support, w_support=w_support,
+                       lanes=n_vq * 128, sub_v=sub_v,
+                       precision_name=precision_name)
+
+
+def _degrid_fused_core(win, out_ref, cuv_ref, cw_ref, pa_ref,
+                       pb_ref, *, inv2_ov, inv2_wov, support: int,
+                       w_support: int, lanes: int, sub_v: int,
+                       precision_name: str):
+    c_uv, c_w = cuv_ref[:], cw_ref[:]
+    block_v = pa_ref.shape[1]
+    bf16 = precision_name == "bf16"
+    half = w_support * WIN_ROWS
     # Hoist the window's (bf16 / hi-lo split) form out of the sub-chunk
     # loop — the resident tiles are shared by every sub-chunk.
     if precision_name == "high":
@@ -563,6 +699,99 @@ def degrid_fused2_pallas(planes: Array, p_idx, g_idx, hv_idx, pa, pb,
     )(p_idx, g_idx, hv_idx, nonempty, c_uv, c_w,
       pa.reshape(1, total), pb.reshape(1, total),
       *([planes] * (2 * n_vq * w_support)))
+    if raw:
+        return out
+    return jax.lax.complex(out[0], out[1])
+
+
+def _degrid_fstack_kernel(t_ref, k_ref, g_ref, nonempty_ref, cuv_ref,
+                          cw_ref, pa_ref, pb_ref, ts_ref, out_ref, *,
+                          inv2_ov, inv2_wov, support: int,
+                          w_support: int, lanes: int, sub_pad: int,
+                          sub_v: int, precision_name: str):
+    from .packed_tap import _window_from_stack
+
+    b = pl.program_id(0)
+    occupied = nonempty_ref[b] != 0
+
+    @pl.when(jnp.logical_not(occupied))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref[:])
+
+    @pl.when(occupied)
+    def _():
+        win = _window_from_stack(ts_ref, k_ref[b], g_ref[b] * 8,
+                                 w_support, sub_pad)
+        _degrid_fused_core(win, out_ref, cuv_ref, cw_ref, pa_ref,
+                           pb_ref, inv2_ov=inv2_ov, inv2_wov=inv2_wov,
+                           support=support, w_support=w_support,
+                           lanes=lanes, sub_v=sub_v,
+                           precision_name=precision_name)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lanes", "support", "w_support", "oversampling", "w_oversampling",
+    "block_v", "sub_v", "precision", "interpret", "raw"))
+def degrid_fused2_stack_pallas(stack: Array, t_idx, k_idx, g_idx, pa,
+                               pb, uv_coeffs, w_coeffs, lanes: int,
+                               support: int, w_support: int,
+                               oversampling: int, w_oversampling: int,
+                               block_v: int = 1024, sub_v: int = 0,
+                               precision: str = "highest",
+                               nonempty=None, interpret: bool = False,
+                               raw: bool = False) -> Array:
+    """Fused degridding from per-TASK tower stacks (v3 input form of
+    :func:`degrid_fused2_pallas` — see
+    :func:`packed_tap.degrid_stack_pallas` for the byte argument).
+
+    ``stack``: [T, 2, num_layers*(lanes+8), lanes] f32 task-major
+    layer stacks; windows are sliced from the task's resident block
+    in VMEM instead of per-bucket (8, 128)-tile DMAs.
+    """
+    total = pa.shape[0]
+    num_blocks = total // block_v
+    sub_pad = lanes + 8
+    ksp = stack.shape[2]
+    if not sub_v:
+        sub_v = min(block_v, 512)
+    c_uv = jnp.asarray(uv_coeffs, jnp.float32)
+    c_w = jnp.asarray(w_coeffs, jnp.float32)
+    if nonempty is None:
+        nonempty = jnp.ones((num_blocks,), jnp.int32)
+    vec = pl.BlockSpec((1, block_v), lambda b, t, k, g, ne: (0, b),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _degrid_fstack_kernel,
+            inv2_ov=np.float32(2.0 / oversampling),
+            inv2_wov=np.float32(2.0 / w_oversampling),
+            support=support, w_support=w_support, lanes=lanes,
+            sub_pad=sub_pad, sub_v=sub_v, precision_name=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(c_uv.shape,
+                             lambda b, t, k, g, ne: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(c_w.shape,
+                             lambda b, t, k, g, ne: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec, vec,
+                pl.BlockSpec((1, 2, ksp, lanes),
+                             lambda b, t, k, g, ne: (t[b], 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, block_v),
+                                   lambda b, t, k, g, ne: (0, b),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(t_idx, k_idx, g_idx, nonempty, c_uv, c_w,
+      pa.reshape(1, total), pb.reshape(1, total), stack)
     if raw:
         return out
     return jax.lax.complex(out[0], out[1])

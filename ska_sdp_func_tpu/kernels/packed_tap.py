@@ -133,6 +133,118 @@ def _grid_accumulate(u_all, vband_ref, out_ref, first, num_p: int,
         out_ref[:, 0] += contrib
 
 
+def _stack_accumulate(out_ref, contrib, k0, g8, w_support: int,
+                      sub_pad: int):
+    """Accumulate a block's [2*w_support*16, lanes] contribution into
+    the task's resident tower stack at its (layer, u-octet) offsets.
+
+    ``out_ref`` block: (1, 2, num_layers*sub_pad, lanes) — re/im
+    planes of the task's full tower, u rows padded by 8 for the last
+    octet's overhang.  All offsets are multiples of 8 sublanes
+    (sub_pad = lanes + 8 is 8-aligned, g8 = 8*octet), so the dynamic
+    stores hit clean tile boundaries.  Shared by the band and fused
+    stack kernels (v3: per-task stacks flushed once per task replace
+    per-bucket 16-row windows + the driver fold pass — the dominant
+    fixed HBM cost of the whole-image driver).
+    """
+    for j in range(w_support):
+        off = (k0 + j) * sub_pad + g8
+        for half, base in ((0, j), (1, w_support + j)):
+            idx = (0, half, pl.ds(off, WIN_ROWS), slice(None))
+            strip = contrib[base * WIN_ROWS:(base + 1) * WIN_ROWS]
+            out_ref[idx] += strip
+
+
+def _grid_stack_kernel_split(t_ref, k_ref, g_ref, ubase_ref,
+                             vband_ref, wkt_ref, vre_ref, vim_ref,
+                             out_ref, *, num_p: int, sub_pad: int,
+                             precision):
+    """Band-stream grid kernel with per-task stack accumulation
+    (v3 output form of :func:`_grid_kernel_split`)."""
+    b = pl.program_id(0)
+    prev = t_ref[jnp.maximum(b - 1, 0)]
+    first = jnp.logical_or(b == 0, prev != t_ref[b])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    sw = num_p // 2
+    wk = wkt_ref[:]                                  # [Sw, bv]
+    vre = vre_ref[0, :]
+    vim = vim_ref[0, :]
+    u_all = jnp.concatenate(
+        [ubase_ref[:] * (wk[j] * vre)[None, :] for j in range(sw)]
+        + [ubase_ref[:] * (wk[j] * vim)[None, :] for j in range(sw)],
+        axis=0)
+    if vband_ref.dtype == jnp.bfloat16:
+        u_all = u_all.astype(jnp.bfloat16)
+    contrib = jnp.dot(u_all, vband_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
+    _stack_accumulate(out_ref, contrib, k_ref[b], g_ref[b] * 8, sw,
+                      sub_pad)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tasks", "num_layers", "lanes", "w_support", "block_v",
+    "fast", "interpret"))
+def grid_packed_stack_pallas(t_idx, k_idx, g_idx, ubase, vband,
+                             scales, num_tasks: int, num_layers: int,
+                             lanes: int, w_support: int,
+                             block_v: int = 128, fast: bool = False,
+                             interpret: bool = False) -> Array:
+    """Band-stream packed gridding, v3 per-task stack output.
+
+    Same streams as :func:`grid_packed_pallas` (split-scales form
+    only) but accumulates whole per-task tower stacks in VMEM and
+    flushes each ONCE — deleting the per-bucket window array and the
+    driver fold pass (~250 MB of window write+read per 1M-vis
+    whole-image call).  Requires blocks sorted task-major (the packed
+    plan's (task, slab, octet) bucket order).  Returns
+    ``[num_tasks, 2, num_layers*(lanes+8), lanes]`` f32 (rows
+    ``[lanes:lanes+8)`` of each layer always zero).
+    """
+    num_p = 2 * w_support
+    total = vband.shape[0]
+    num_blocks = total // block_v
+    sub_pad = lanes + 8
+    wk_t, vre, vim = scales
+    return pl.pallas_call(
+        functools.partial(_grid_stack_kernel_split, num_p=num_p,
+                          sub_pad=sub_pad, precision=_precision(fast)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec((WIN_ROWS, block_v),
+                             lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_v, lanes),
+                             lambda b, t, k, g: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w_support, block_v),
+                             lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_v), lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_v), lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2, num_layers * sub_pad, lanes),
+                lambda b, t, k, g: (t[b], 0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tasks, 2, num_layers * sub_pad, lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(t_idx, k_idx, g_idx, ubase, vband, wk_t,
+      vre.reshape(1, total), vim.reshape(1, total))
+
+
 def _grid_kernel_split(bucket_ref, ubase_ref, vband_ref, wkt_ref,
                        vre_ref, vim_ref, out_ref, *, num_p: int,
                        precision):
@@ -597,6 +709,89 @@ def fold_layers_pallas(part: Array, num_tasks: int, num_slabs: int,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(part)
+
+
+def _window_from_stack(ts_ref, k0, g8, w_support: int, sub_pad: int):
+    """Assemble a block's [2*w_support*16, lanes] window from the
+    task's resident tower stack (mirror of :func:`_stack_accumulate`:
+    8 dynamic [16, lanes] slices at 8-aligned sublane offsets, rows
+    ordered re-layers then im-layers as :func:`_degrid_math` expects).
+    """
+    parts = []
+    for ri in range(2):
+        for layer in range(w_support):
+            off = (k0 + layer) * sub_pad + g8
+            parts.append(ts_ref[0, ri, pl.ds(off, WIN_ROWS), :])
+    return jnp.concatenate(parts, axis=0)
+
+
+def _degrid_stack_kernel(t_ref, k_ref, g_ref, ubase_ref, vbt_ref,
+                         wkt_ref, ts_ref, out_ref, *, w_support: int,
+                         sub_pad: int, precision):
+    b = pl.program_id(0)
+    win = _window_from_stack(ts_ref, k_ref[b], g_ref[b] * 8,
+                             w_support, sub_pad)
+    _degrid_math(win, ubase_ref, vbt_ref, wkt_ref, out_ref,
+                 w_support, precision)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_support", "block_v", "fast", "interpret", "raw"))
+def degrid_stack_pallas(stack: Array, t_idx, k_idx, g_idx, ubase,
+                        vband_t, wk_t, w_support: int,
+                        block_v: int = 128, fast: bool = False,
+                        interpret: bool = False,
+                        raw: bool = False) -> Array:
+    """Band-stream degridding from per-TASK tower stacks (v3).
+
+    ``stack``: [T, 2, num_layers*(lanes+8), lanes] f32 — the same
+    task-major layout :func:`grid_packed_stack_pallas` produces (the
+    driver builds it with one reshape from the FFT'd layer stack).
+    Each task's full stack rides ONE input-block DMA and stays
+    resident across all its blocks; windows are sliced in VMEM —
+    the per-bucket (8, 128)-tile fetches of
+    :func:`degrid_fused_pallas` cost 64 KB per OCCUPIED BUCKET
+    (~250 MB per 1M-vis whole-image call), this form costs
+    ``T * stack_bytes`` (~56 MB).  Returns [V] complex64 in sorted
+    order (``raw=True``: the [8, V] f32 pair).
+    """
+    total = vband_t.shape[1]
+    num_blocks = total // block_v
+    lanes_win = vband_t.shape[0]
+    ksp = stack.shape[2]
+    sub_pad = lanes_win + 8
+    out = pl.pallas_call(
+        functools.partial(_degrid_stack_kernel, w_support=w_support,
+                          sub_pad=sub_pad, precision=_precision(fast)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec((WIN_ROWS, block_v),
+                             lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lanes_win, block_v),
+                             lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w_support, block_v),
+                             lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, ksp, lanes_win),
+                             lambda b, t, k, g: (t[b], 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, block_v),
+                                   lambda b, t, k, g: (0, b),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(t_idx, k_idx, g_idx, ubase, vband_t, wk_t, stack)
+    if raw:
+        return out
+    return jax.lax.complex(out[0], out[1])
 
 
 def _degrid_fused_kernel(p_ref, g_ref, hv_ref, ubase_ref, vbt_ref,

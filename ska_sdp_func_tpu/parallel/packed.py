@@ -52,17 +52,21 @@ from ..grid_data.gridder_utils import (
 )
 from ..kernels.fused_tap import (
     degrid_fused2_pallas,
+    degrid_fused2_stack_pallas,
     fused_geometry_ok,
     grid_fused_pallas,
+    grid_fused_stack_pallas,
     pack_plan_words,
 )
 from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
     degrid_fused_pallas,
+    degrid_stack_pallas,
     fold_groups_pallas,
     fold_layers_pallas,
     grid_packed_pallas,
+    grid_packed_stack_pallas,
 )
 from ..utility.constants import C_0
 from ..utility.errors import SdpInvalidArgumentError, SdpRuntimeError
@@ -500,20 +504,22 @@ _GRIDDER_CACHE_MAX = 4
 # f32 accumulate (~1e-6 taper-weighted image error, measured).
 _DEFAULT_PRECISION = "highest"
 
-# Default engine (2026-08-20 on-chip sweep, dense 4.2M-vis stream):
+# Default engine (2026-08-20 round-5 on-chip A/B, v3 stack kernels,
+# experiments/exp_stack.py — whole-image rates incl. all stages):
 #
-#   grid:   fused ROW-form kernel 390-397 f32 / 422 high / 591 bf16
-#           Mvis/s at 16 B/slot — equal to the band kernel (397.7
-#           f32 / 601.5 bf16, HBM-bound at the chip's measured 238
-#           GB/s triad) with ~37x less stream/plan HBM;
-#   degrid: band kernel 390.3 vs fused 311.2 (the degrid window
-#           assembly leaves less room to hide the in-kernel tap
-#           build, which serializes with the MXU — exp_overlap.py).
+#   grid:   bands 453.1 dense / 202.6 headline vs fused 374.2 /
+#           175.7 Mvis/s.  With the per-bucket window array and the
+#           fold pass deleted (v3 per-task stack accumulation), the
+#           band kernel's 600 B/slot stream rides fully overlapped
+#           DMA while the fused kernel's in-kernel tap build still
+#           serializes with the MXU (exp_overlap.py) — bands win
+#           both scenarios at HIGHEST precision;
+#   degrid: band kernel won already at r4 (390.3 vs fused 311.2).
 #
-# "auto" therefore routes grid through the fused-row kernel and
-# degrid through the band kernel (band arrays are built for the
-# degrid direction only); "bands"/"fused" force one formulation for
-# both directions.
+# "auto" therefore routes BOTH directions through the band kernels
+# on plan-once drivers; the fused kernels remain the STREAMING
+# engine (they delete the prep stage and the per-chunk band
+# materialisation, which plan-once paths pay only once).
 _DEFAULT_ENGINE = "auto"
 
 
@@ -587,6 +593,10 @@ class PackedGridder:
             (task * pplan.num_layers + slab).astype(np.int32))
         self.g_idx = jnp.asarray(octet.astype(np.int32))
         self.hv_idx = jnp.asarray(np.zeros(bb.shape, np.int32))
+        # Per-block (task, w-slab) for the v3 stack-accumulating grid
+        # kernel (grid_fused_stack_pallas).
+        self.t_idx = jnp.asarray(task.astype(np.int32))
+        self.k_idx = jnp.asarray(slab.astype(np.int32))
         self.visited = jnp.asarray(arrays["visited"])
 
         # Compact plan upload: ship the integer oversampled kernel rows
@@ -606,11 +616,12 @@ class PackedGridder:
         # Per-direction engine selection (see _DEFAULT_ENGINE): the
         # fused kernels evaluate taps in VMEM from two bit-packed
         # int32 words per slot (16 B/slot streams); the band kernels
-        # stream pre-built tap bands (~600 B/slot, HBM-bound).
+        # stream pre-built tap bands (~600 B/slot, fully overlapped).
+        # "auto" = bands both directions (round-5 A/B winner).
         packable = fused_geometry_ok(
             plan.subgrid_size, plan.support, plan.oversampling,
             plan.w_oversampling)
-        self._fused_grid = engine in ("auto", "fused") and packable
+        self._fused_grid = engine == "fused" and packable
         self._fused_degrid = engine == "fused" and packable
         # Back-compat alias (introspected by tests/experiments): true
         # only when BOTH directions run the fused kernels.
@@ -738,10 +749,12 @@ class PackedGridder:
         plan = pplan.wplan
         if self._fused_grid:
             pa, pb = ops
-            return grid_fused_pallas(
-                block_bucket, pa, pb, vre, vim, self._uv_c, self._w_c,
-                pplan.num_buckets, plan.subgrid_size, plan.support,
-                plan.w_support, plan.oversampling, plan.w_oversampling,
+            t_idx, k_idx, g_idx = block_bucket
+            return grid_fused_stack_pallas(
+                t_idx, k_idx, g_idx, pa, pb, vre, vim, self._uv_c,
+                self._w_c, len(pplan.tasks), pplan.num_layers,
+                plan.subgrid_size, plan.support, plan.w_support,
+                plan.oversampling, plan.w_oversampling,
                 block_v=pplan.block_v, precision=self.precision,
                 interpret=self.interpret)
         wk_t, ubase, vband = ops
@@ -749,11 +762,14 @@ class PackedGridder:
         # into the kernel and the scale stack is built in VMEM — the
         # pre-built ``scales`` cost an extra XLA pass (~56 B/slot of
         # HBM) plus 8 B/slot more stream every call, and the kernel
-        # is bandwidth-bound.
-        return grid_packed_pallas(
-            block_bucket, ubase, vband, (wk_t, vre, vim),
-            pplan.num_buckets, plan.subgrid_size, plan.w_support,
-            block_v=pplan.block_v, fast=self.fast,
+        # is bandwidth-bound.  v3 stack output (per-task tower stacks
+        # in VMEM) for both engines: the per-bucket window array and
+        # the fold pass are gone.
+        t_idx, k_idx, g_idx = block_bucket
+        return grid_packed_stack_pallas(
+            t_idx, k_idx, g_idx, ubase, vband, (wk_t, vre, vim),
+            len(pplan.tasks), pplan.num_layers, plan.subgrid_size,
+            plan.w_support, block_v=pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
     def _stage_fold(self, wins, visited):
@@ -784,17 +800,31 @@ class PackedGridder:
         return _planes_to_image(self._kernel, planes,
                                 self._plane_offsets())
 
+    def _stack_to_layers(self, stack):
+        """[T, 2, K*(G+8), G] stack-kernel output -> [T, K, G, G]
+        complex layers (crop the always-zero 8-row octet overhang and
+        combine the re/im planes — one cheap slice-copy pass, vs the
+        254 MB window read the fold pass performed)."""
+        pplan = self.pplan
+        G = pplan.wplan.subgrid_size
+        st = stack.reshape(len(pplan.tasks), 2, pplan.num_layers,
+                           G + 8, G)[:, :, :, :G, :]
+        return jax.lax.complex(st[:, 0], st[:, 1])
+
     def _grid_impl(self, vre, vim, ops, block_bucket,
                    visited, ladder, pref):
-        wins = self._stage_kernel(vre, vim, ops, block_bucket)
-        layers = self._stage_fold(wins, visited)
+        out = self._stage_kernel(vre, vim, ops, block_bucket)
+        layers = self._stack_to_layers(out)
         subgrids = self._stage_drain(layers, ladder, pref)
         return self._stage_planes(subgrids)
+
+    def _grid_indices(self):
+        return (self.t_idx, self.k_idx, self.g_idx)
 
     def grid_sorted(self, vre: Array, vim: Array) -> Array:
         """Sorted-stream (re, im) f32 -> real dirty image (f32)."""
         return self._grid_jit(vre, vim, self._grid_ops,
-                              self.block_bucket,
+                              self._grid_indices(),
                               self.visited, self.ladder_grid,
                               self.pref_grid)
 
@@ -813,6 +843,9 @@ class PackedGridder:
                                      self._plane_offsets())
 
     def _dstage_layers(self, plane_stack, ladder, pref):
+        # Task-major stack layout [T, 2, K*(G+8), G] — the input form
+        # of the v3 stack degrid kernels (each task's full tower rides
+        # one resident input block; see packed_tap.degrid_stack_pallas).
         pplan = self.pplan
         plan = pplan.wplan
         sgs = plan.subgrid_size
@@ -828,29 +861,29 @@ class PackedGridder:
         layers = fft_shifted(
             (subgrids * pref)[:, None, :, :] * ladder[None])
         st = jnp.stack([layers.real.astype(jnp.float32),
-                        layers.imag.astype(jnp.float32)])
+                        layers.imag.astype(jnp.float32)], axis=1)
         st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
-        return st.reshape(2, num_tasks * pplan.num_layers, sgs + 8, sgs)
+        return st.reshape(num_tasks, 2,
+                          pplan.num_layers * (sgs + 8), sgs)
 
     def _dstage_kernel(self, st, ops, block_bucket):
-        # Window tiles stream straight out of the padded layer stack
-        # via the fused kernel's index maps (no dense window array, no
-        # unfold pass; measured 154.7 vs 149.7 Mvis/s for the windowed
-        # kernel on the 512^2/1M-vis bench, and no O(T*S*G) window
-        # intermediate).
+        # v3: windows are sliced in VMEM from the task's resident
+        # tower stack (one input-block DMA per task) — the per-bucket
+        # (8, 128)-tile fetches cost 64 KB per occupied bucket
+        # (~250 MB per 1M-vis whole-image call).
         plan = self.pplan.wplan
-        p_idx, g_idx, hv_idx = block_bucket
+        t_idx, k_idx, g_idx = block_bucket
         if self._fused_degrid:
             pa, pb = ops
-            return degrid_fused2_pallas(
-                st, p_idx, g_idx, hv_idx, pa, pb, self._uv_c,
+            return degrid_fused2_stack_pallas(
+                st, t_idx, k_idx, g_idx, pa, pb, self._uv_c,
                 self._w_c, plan.subgrid_size, plan.support,
                 plan.w_support, plan.oversampling, plan.w_oversampling,
                 block_v=self.pplan.block_v, precision=self.precision,
                 interpret=self.interpret)
         wk_t, ubase, vband_t = ops
-        return degrid_fused_pallas(
-            st, p_idx, g_idx, hv_idx, ubase, vband_t, wk_t,
+        return degrid_stack_pallas(
+            st, t_idx, k_idx, g_idx, ubase, vband_t, wk_t,
             plan.w_support, block_v=self.pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
@@ -860,7 +893,7 @@ class PackedGridder:
         return self._dstage_kernel(st, ops, block_bucket)
 
     def _degrid_indices(self):
-        return (self.p_idx, self.g_idx, self.hv_idx)
+        return (self.t_idx, self.k_idx, self.g_idx)
 
     def degrid_sorted(self, image: Array) -> Array:
         """Real/complex image -> sorted-stream complex64 visibilities."""
@@ -890,40 +923,49 @@ class PackedGridder:
 
         from ..utility.timers import TimerType, Timers
 
-        args = (self._grid_ops, self.block_bucket,
+        args = (self._grid_ops, self._grid_indices(),
                 self.visited, self.ladder_grid, self.pref_grid)
 
         def upto(n):
+            # Each prefix returns a SCALAR reduction computed inside
+            # the jit: returning a GB-scale intermediate as the jit
+            # output keeps ~iters in-flight copies alive through the
+            # chained loop (allocation churn measured 8x slower than
+            # the full pipeline containing the same kernel).
+            def red_in(x):
+                if jnp.iscomplexobj(x):
+                    return jnp.sum(jnp.abs(x.real)) \
+                        + jnp.sum(jnp.abs(x.imag))
+                return jnp.sum(jnp.abs(x))
+
             def f(vre, vim, ops, bb, visited, ladder, pref):
-                wins = self._stage_kernel(vre, vim, ops, bb)
+                out = self._stage_kernel(vre, vim, ops, bb)
                 if n == 0:
-                    return wins
-                layers = self._stage_fold(wins, visited)
+                    return red_in(out)
+                layers = self._stack_to_layers(out)
                 if n == 1:
-                    return layers
+                    return red_in(layers)
                 subgrids = self._stage_drain(layers, ladder, pref)
                 if n == 2:
-                    return subgrids
-                return self._stage_planes(subgrids)
+                    return red_in(subgrids)
+                return red_in(self._stage_planes(subgrids))
             return jax.jit(f)
 
-        red = jax.jit(lambda x: jnp.sum(jnp.abs(x.real))
-                      if jnp.iscomplexobj(x) else jnp.sum(jnp.abs(x)))
         fb = jax.jit(lambda v, s: v * (jnp.float32(1.0)
                                        + jnp.float32(1e-6) * jnp.tanh(s)))
-        names = ("scales + packed kernel", "window fold",
+        names = ("stack kernel", "stack -> layers",
                  "ifft + w ladder + fft", "subgrid adds + correction")
         prefix_t = []
         for n in range(4):
             f = upto(n)
-            out = f(vre, *(vim,) + args)
-            _ = float(red(out))
+            s = f(vre, *(vim,) + args)
+            _ = float(s)
             v = vre
             t0 = _time.perf_counter()
             for _i in range(iters):
-                out = f(v, *(vim,) + args)
-                v = fb(v, red(out))
-            _ = float(red(out))
+                s = f(v, *(vim,) + args)
+                v = fb(v, s)
+            _ = float(s)
             prefix_t.append((_time.perf_counter() - t0) / iters)
 
         plan = self.pplan.wplan
@@ -962,18 +1004,23 @@ class PackedGridder:
                 self.pref_degrid)
 
         def upto(n):
+            # Scalar reduction inside the jit — see report_timing.
+            def red_in(x):
+                if jnp.iscomplexobj(x):
+                    return jnp.sum(jnp.abs(x.real)) \
+                        + jnp.sum(jnp.abs(x.imag))
+                return jnp.sum(jnp.abs(x))
+
             def f(img, ops, bb, ladder, pref):
                 planes = self._dstage_planes(img)
                 if n == 0:
-                    return planes
+                    return red_in(planes)
                 st = self._dstage_layers(planes, ladder, pref)
                 if n == 1:
-                    return st
-                return self._dstage_kernel(st, ops, bb)
+                    return red_in(st)
+                return red_in(self._dstage_kernel(st, ops, bb))
             return jax.jit(f)
 
-        red = jax.jit(lambda x: jnp.sum(jnp.abs(x.real))
-                      if jnp.iscomplexobj(x) else jnp.sum(jnp.abs(x)))
         fbi = jax.jit(lambda m, s: m + jnp.float32(1e-6) * jnp.tanh(s))
         names = ("plane FFTs + screens", "cut-outs + ladder + layer fft",
                  "fused degrid kernel")
@@ -981,14 +1028,14 @@ class PackedGridder:
         image = jnp.asarray(image, jnp.float32)
         for n in range(3):
             f = upto(n)
-            out = f(image, *args)
-            _ = float(red(out))
+            s = f(image, *args)
+            _ = float(s)
             img = image
             t0 = _time.perf_counter()
             for _i in range(iters):
-                out = f(img, *args)
-                img = fbi(img, red(out))
-            _ = float(red(out))
+                s = f(img, *args)
+                img = fbi(img, s)
+            _ = float(s)
             prefix_t.append((_time.perf_counter() - t0) / iters)
 
         timers = Timers("degrid_all (packed) device time / call",
