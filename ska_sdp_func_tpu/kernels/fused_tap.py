@@ -502,6 +502,111 @@ def grid_fused_stack_pallas(t_idx, k_idx, g_idx, pa, pb, vre, vim,
       vre.reshape(1, total), vim.reshape(1, total))
 
 
+def _grid_compact_kernel(t_ref, k_ref, g_ref, pa_ref, ukt_ref,
+                         vkt_ref, wkt_ref, vre_ref, vim_ref, out_ref,
+                         *, support: int, w_support: int, lanes: int,
+                         sub_v: int, sub_pad: int,
+                         precision_name: str):
+    """Compact-stream grid kernel: pre-evaluated taps streamed
+    (uk/vk [S, n] + wk [Sw, n] f32, 80 B/slot with pa + vis vs the
+    band form's 600), u/v-band PLACEMENT done in VMEM (the cheap part
+    of the fused build — no Chebyshev evaluation, which is what
+    serializes the fused kernel against the MXU)."""
+    b = pl.program_id(0)
+    prev = t_ref[jnp.maximum(b - 1, 0)]
+    first = jnp.logical_or(b == 0, prev != t_ref[b])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    num_p = 2 * w_support
+    block_v = pa_ref.shape[1]
+    contrib = jnp.zeros((num_p * WIN_ROWS, lanes), jnp.float32)
+    for i in range(block_v // sub_v):
+        sl = pl.ds(i * sub_v, sub_v)
+        pa = pa_ref[0, sl]
+        iv0 = pa >> 20
+        u_off = (pa >> 17) & 7
+        uk = ukt_ref[:, sl]
+        vk = vkt_ref[:, sl]
+        wk = wkt_ref[:, sl]
+        vre = vre_ref[0, sl]
+        vim = vim_ref[0, sl]
+        row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, sub_v),
+                                         0)
+        ub = jnp.zeros((WIN_ROWS, sub_v), jnp.float32)
+        for s in range(support):
+            ub = jnp.where(row16 == u_off + s, uk[s], ub)
+        u_all = jnp.concatenate(
+            [ub * (wk[j] * vre)[None, :] for j in range(w_support)]
+            + [ub * (wk[j] * vim)[None, :] for j in range(w_support)],
+            axis=0)
+        vbt = _place_vband_t(vk, iv0, sub_v, lanes, support)
+        contrib = contrib + _dot_prec_nt(u_all, vbt, precision_name)
+    _stack_accumulate(out_ref, contrib, k_ref[b], g_ref[b] * 8,
+                      w_support, sub_pad)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tasks", "num_layers", "lanes", "support", "w_support",
+    "block_v", "sub_v", "precision", "interpret"))
+def grid_compact_pallas(t_idx, k_idx, g_idx, pa, uk_t, vk_t, wk_t,
+                        vre, vim, num_tasks: int, num_layers: int,
+                        lanes: int, support: int, w_support: int,
+                        block_v: int = 1024, sub_v: int = 0,
+                        precision: str = "highest",
+                        interpret: bool = False) -> Array:
+    """Compact-stream packed gridding with per-task stack output.
+
+    Streams per slot: pa (4 B, iv0/u_off) + uk/vk [support, V]
+    (64 B) + wk [w_support, V] (16 B) + vre/vim (8 B) = 92 B vs the
+    band form's 600 — the headline scenario's band kernel is
+    stream-DMA-bound (measured 2.8 ns/slot of which ~2.2 is the 600
+    B/slot stream at ~280 GB/s).  Taps are pre-evaluated on device at
+    plan attach (same tables as the band build, placement skipped);
+    the kernel only PLACES them at their sublane/lane offsets — the
+    cheap half of the fused build (the Chebyshev evaluation is what
+    serializes against the MXU, exp_overlap.py).
+    Returns the same [T, 2, K*(lanes+8), lanes] stack as
+    :func:`grid_fused_stack_pallas`.
+    """
+    total = pa.shape[0]
+    num_blocks = total // block_v
+    sub_pad = lanes + 8
+    if not sub_v:
+        sub_v = min(block_v, 512)
+    vec = pl.BlockSpec((1, block_v), lambda b, t, k, g: (0, b),
+                       memory_space=pltpu.VMEM)
+
+    def tap(rows):
+        return pl.BlockSpec((rows, block_v), lambda b, t, k, g: (0, b),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(
+            _grid_compact_kernel, support=support,
+            w_support=w_support, lanes=lanes, sub_v=sub_v,
+            sub_pad=sub_pad, precision_name=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_blocks,),
+            in_specs=[vec, tap(support), tap(support),
+                      tap(w_support), vec, vec],
+            out_specs=pl.BlockSpec(
+                (1, 2, num_layers * sub_pad, lanes),
+                lambda b, t, k, g: (t[b], 0, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tasks, 2, num_layers * sub_pad, lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(t_idx, k_idx, g_idx, pa.reshape(1, total), uk_t, vk_t, wk_t,
+      vre.reshape(1, total), vim.reshape(1, total))
+
+
 def _place_vband_t(vk, iv0, n: int, lanes: int, support: int):
     """Row-major twin of :func:`_place_vband`: vk [S, n] placed at
     sublane offsets iv0 -> [lanes, n] (vis on lanes)."""

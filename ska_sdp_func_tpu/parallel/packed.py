@@ -136,15 +136,19 @@ def _plane_screens(kernel, w_offsets, inverse: bool):
                           offs, dtype=jnp.complex64)
 
 
-def _planes_to_image(kernel, planes, w_offsets):
+def _planes_to_image(kernel, planes, w_offsets, screens=None):
     """Per-w-plane uv grids ``[P, G, G]`` -> corrected real image.
 
     One batched iFFT + one stacked-screen contraction + the shared
     PSWF correction (hoisted out of the plane sum — it is w-independent,
-    sdp_gridder_grid_correct.cpp:19-74).
+    sdp_gridder_grid_correct.cpp:19-74).  ``screens`` lets the caller
+    pass the PRECOMPUTED stack as a jit argument — the screens are
+    static per plan, and rebuilding them in-jit costs ~P*N^2 sin/cos
+    per call (measured 3.04 ms of the 5.6 ms headline degrid).
     """
     stack = ifft_shifted_norm(planes)
-    screens = _plane_screens(kernel, w_offsets, inverse=True)
+    if screens is None:
+        screens = _plane_screens(kernel, w_offsets, inverse=True)
     image = jnp.einsum("puv,puv->uv", screens, stack)
     image = grid_correct_pswf(
         kernel.image_size, kernel.theta, kernel.w_step, kernel.shear_u,
@@ -152,15 +156,17 @@ def _planes_to_image(kernel, planes, w_offsets):
     return image.real.astype(jnp.float32)
 
 
-def _image_to_plane_stack(kernel, image, w_offsets):
+def _image_to_plane_stack(kernel, image, w_offsets, screens=None):
     """Real image -> per-w-plane degrid-corrected uv grids ``[P, G, G]``
     via one shared PSWF multiply, one stacked conjugate screen and ONE
-    batched FFT (mirror of :func:`_planes_to_image`)."""
+    batched FFT (mirror of :func:`_planes_to_image`, same precomputed
+    ``screens`` option)."""
     base = grid_correct_pswf(
         kernel.image_size, kernel.theta, kernel.w_step, kernel.shear_u,
         kernel.shear_v, kernel.support, kernel.w_support,
         image.astype(jnp.complex64))
-    screens = _plane_screens(kernel, w_offsets, inverse=False)
+    if screens is None:
+        screens = _plane_screens(kernel, w_offsets, inverse=False)
     return fft_shifted(base[None] * screens)
 
 
@@ -707,6 +713,16 @@ class PackedGridder:
         self._pref_g_host = pref_g.astype(np.complex64)
         self._pref_d_host = pref_d.astype(np.complex64)
 
+        # Precomputed per-plane w-screen stacks (static per plan; jit
+        # ARGUMENTS, not closures — rebuilding them in-jit cost ~P*N^2
+        # sin/cos per call, measured 3.04 ms of the headline degrid,
+        # and complex closure constants D2H-crash on tunnelled chips).
+        w_offs = tuple(self._plane_offsets())
+        self.screens_grid = jax.jit(
+            lambda: _plane_screens(kernel, w_offs, True))()
+        self.screens_degrid = jax.jit(
+            lambda: _plane_screens(kernel, w_offs, False))()
+
         self._grid_jit = jax.jit(self._grid_impl)
         self._degrid_jit = jax.jit(self._degrid_impl)
         self._sort_jit = jax.jit(self._sort_impl)
@@ -784,7 +800,7 @@ class PackedGridder:
         subgrids = jnp.einsum("tkuv,kuv->tuv", layers, ladder) * pref
         return fft_shifted(subgrids)
 
-    def _stage_planes(self, subgrids):
+    def _stage_planes(self, subgrids, screens=None):
         pplan = self.pplan
         plan = pplan.wplan
         image_size = plan.image_size
@@ -798,7 +814,7 @@ class PackedGridder:
                 -task.iv * plan.eff_sg_size, subgrids[t], sg_factor)
         planes = jnp.stack([per_plane[iw] for iw in pplan.w_plane_ids])
         return _planes_to_image(self._kernel, planes,
-                                self._plane_offsets())
+                                self._plane_offsets(), screens=screens)
 
     def _stack_to_layers(self, stack):
         """[T, 2, K*(G+8), G] stack-kernel output -> [T, K, G, G]
@@ -812,11 +828,11 @@ class PackedGridder:
         return jax.lax.complex(st[:, 0], st[:, 1])
 
     def _grid_impl(self, vre, vim, ops, block_bucket,
-                   visited, ladder, pref):
+                   visited, ladder, pref, screens):
         out = self._stage_kernel(vre, vim, ops, block_bucket)
         layers = self._stack_to_layers(out)
         subgrids = self._stage_drain(layers, ladder, pref)
-        return self._stage_planes(subgrids)
+        return self._stage_planes(subgrids, screens)
 
     def _grid_indices(self):
         return (self.t_idx, self.k_idx, self.g_idx)
@@ -826,7 +842,7 @@ class PackedGridder:
         return self._grid_jit(vre, vim, self._grid_ops,
                               self._grid_indices(),
                               self.visited, self.ladder_grid,
-                              self.pref_grid)
+                              self.pref_grid, self.screens_grid)
 
     def grid(self, vis: Array) -> Array:
         """[rows, chan] visibilities -> real dirty image."""
@@ -838,9 +854,10 @@ class PackedGridder:
     # Degrid pipeline stages (composable so report_timing_degrid can
     # measure marginal device time per stage).
 
-    def _dstage_planes(self, image):
+    def _dstage_planes(self, image, screens=None):
         return _image_to_plane_stack(self._kernel, image,
-                                     self._plane_offsets())
+                                     self._plane_offsets(),
+                                     screens=screens)
 
     def _dstage_layers(self, plane_stack, ladder, pref):
         # Task-major stack layout [T, 2, K*(G+8), G] — the input form
@@ -887,8 +904,9 @@ class PackedGridder:
             plan.w_support, block_v=self.pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
-    def _degrid_impl(self, image, ops, block_bucket, ladder, pref):
-        plane_stack = self._dstage_planes(image)
+    def _degrid_impl(self, image, ops, block_bucket, ladder, pref,
+                     screens):
+        plane_stack = self._dstage_planes(image, screens)
         st = self._dstage_layers(plane_stack, ladder, pref)
         return self._dstage_kernel(st, ops, block_bucket)
 
@@ -899,7 +917,8 @@ class PackedGridder:
         """Real/complex image -> sorted-stream complex64 visibilities."""
         return self._degrid_jit(image, self._degrid_ops,
                                 self._degrid_indices(),
-                                self.ladder_degrid, self.pref_degrid)
+                                self.ladder_degrid, self.pref_degrid,
+                                self.screens_degrid)
 
     def degrid(self, image: Array) -> Array:
         """Image -> [rows, chan] complex64 visibilities."""
@@ -924,7 +943,8 @@ class PackedGridder:
         from ..utility.timers import TimerType, Timers
 
         args = (self._grid_ops, self._grid_indices(),
-                self.visited, self.ladder_grid, self.pref_grid)
+                self.visited, self.ladder_grid, self.pref_grid,
+                self.screens_grid)
 
         def upto(n):
             # Each prefix returns a SCALAR reduction computed inside
@@ -938,7 +958,8 @@ class PackedGridder:
                         + jnp.sum(jnp.abs(x.imag))
                 return jnp.sum(jnp.abs(x))
 
-            def f(vre, vim, ops, bb, visited, ladder, pref):
+            def f(vre, vim, ops, bb, visited, ladder, pref,
+                  screens):
                 out = self._stage_kernel(vre, vim, ops, bb)
                 if n == 0:
                     return red_in(out)
@@ -948,7 +969,7 @@ class PackedGridder:
                 subgrids = self._stage_drain(layers, ladder, pref)
                 if n == 2:
                     return red_in(subgrids)
-                return red_in(self._stage_planes(subgrids))
+                return red_in(self._stage_planes(subgrids, screens))
             return jax.jit(f)
 
         fb = jax.jit(lambda v, s: v * (jnp.float32(1.0)
@@ -961,12 +982,18 @@ class PackedGridder:
             s = f(vre, *(vim,) + args)
             _ = float(s)
             v = vre
-            t0 = _time.perf_counter()
-            for _i in range(iters):
-                s = f(v, *(vim,) + args)
-                v = fb(v, s)
-            _ = float(s)
-            prefix_t.append((_time.perf_counter() - t0) / iters)
+            # Two loops, keep the second: a freshly compiled
+            # executable's FIRST timed loop runs ~7x slow (measured
+            # 35 vs 5.2 ms/iter on the tunnelled chip) regardless of
+            # process warm-up.
+            for _loop in range(2):
+                t0 = _time.perf_counter()
+                for _i in range(iters):
+                    s = f(v, *(vim,) + args)
+                    v = fb(v, s)
+                _ = float(s)
+                dt = (_time.perf_counter() - t0) / iters
+            prefix_t.append(dt)
 
         plan = self.pplan.wplan
         timers = Timers("grid_all (packed) device time / call",
@@ -1001,7 +1028,7 @@ class PackedGridder:
 
         args = (self._degrid_ops,
                 self._degrid_indices(), self.ladder_degrid,
-                self.pref_degrid)
+                self.pref_degrid, self.screens_degrid)
 
         def upto(n):
             # Scalar reduction inside the jit — see report_timing.
@@ -1011,8 +1038,8 @@ class PackedGridder:
                         + jnp.sum(jnp.abs(x.imag))
                 return jnp.sum(jnp.abs(x))
 
-            def f(img, ops, bb, ladder, pref):
-                planes = self._dstage_planes(img)
+            def f(img, ops, bb, ladder, pref, screens):
+                planes = self._dstage_planes(img, screens)
                 if n == 0:
                     return red_in(planes)
                 st = self._dstage_layers(planes, ladder, pref)
@@ -1031,12 +1058,16 @@ class PackedGridder:
             s = f(image, *args)
             _ = float(s)
             img = image
-            t0 = _time.perf_counter()
-            for _i in range(iters):
-                s = f(img, *args)
-                img = fbi(img, s)
-            _ = float(s)
-            prefix_t.append((_time.perf_counter() - t0) / iters)
+            # Two loops, keep the second (fresh-executable first-loop
+            # ramp; see report_timing).
+            for _loop in range(2):
+                t0 = _time.perf_counter()
+                for _i in range(iters):
+                    s = f(img, *args)
+                    img = fbi(img, s)
+                _ = float(s)
+                dt = (_time.perf_counter() - t0) / iters
+            prefix_t.append(dt)
 
         timers = Timers("degrid_all (packed) device time / call",
                         TimerType.DEVICE)
