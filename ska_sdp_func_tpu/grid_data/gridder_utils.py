@@ -25,6 +25,21 @@ Array = jax.Array
 # Elementwise array algebra
 # ---------------------------------------------------------------------------
 
+def _check_uvw_rows(uvws, fn: str):
+    """Row-form uvw contract ``float[n, 3]`` (the subgrid-level helpers
+    take flattened rows, not the [time, baseline, 3] data-model form) —
+    expected-failure parity with the reference's per-function
+    sdp_mem_check_* sweeps (tests/.../test_*.cpp pattern)."""
+    uvws = jnp.asarray(uvws)
+    if uvws.ndim != 2 or uvws.shape[-1] != 3:
+        raise SdpShapeError(
+            f"{fn}: uvws must be [n, 3]; got {uvws.shape}")
+    if not jnp.issubdtype(uvws.dtype, jnp.floating):
+        raise SdpInvalidArgumentError(
+            f"{fn}: uvws must be float; got {uvws.dtype}")
+    return uvws
+
+
 def _pow_int(base: Array, exponent) -> Array:
     """base ** exponent with the 0/1 fast paths of the reference
     (sdp_gridder_utils.h:22-46)."""
@@ -127,6 +142,15 @@ def subgrid_add(grid: Array, offset_u: int, offset_v: int,
     ``(i + G/2 - S/2 - offset_u) mod G`` (note the *minus* offset — the
     reverse of `subgrid_cut_out`).
     """
+    grid = jnp.asarray(grid)
+    subgrid = jnp.asarray(subgrid)
+    if grid.ndim != 2 or subgrid.ndim != 2:
+        raise SdpShapeError("subgrid_add: grid and subgrid must be 2D")
+    if subgrid.shape[0] > grid.shape[0] or \
+            subgrid.shape[1] > grid.shape[1]:
+        raise SdpShapeError(
+            f"subgrid_add: subgrid {subgrid.shape} larger than grid "
+            f"{grid.shape}")
     return _subgrid_add(grid, subgrid,
                         jnp.asarray(offset_u), jnp.asarray(offset_v),
                         jnp.asarray(factor))
@@ -204,6 +228,13 @@ def subgrid_cut_out(grid: Array, offset_u: int, offset_v: int,
     (sdp_gridder_utils.cpp:603-650); returns the ``subgrid_size``-square
     block centred at (+offset_u, +offset_v) relative to the grid centre.
     """
+    grid = jnp.asarray(grid)
+    if grid.ndim != 2:
+        raise SdpShapeError("subgrid_cut_out: grid must be 2D")
+    if subgrid_size > min(grid.shape):
+        raise SdpShapeError(
+            f"subgrid_cut_out: subgrid_size {subgrid_size} larger "
+            f"than grid {grid.shape}")
     return _subgrid_cut_out(grid, jnp.asarray(offset_u),
                             jnp.asarray(offset_v),
                             subgrid_size, subgrid_size)
@@ -225,6 +256,7 @@ def uvw_bounds_all(uvws: Array, freq0_hz, dfreq_hz,
     sign of uvw decides which end is the min). Rows with empty channel
     ranges are skipped. Returns ``(uvw_min[3], uvw_max[3])``.
     """
+    uvws = _check_uvw_rows(uvws, "uvw_bounds_all")
     compute_dtype = jnp.result_type(uvws.dtype, jnp.float32)
     uvw = jnp.asarray(uvws, compute_dtype)
     u0 = freq0_hz * uvw / C_0
@@ -348,6 +380,15 @@ def dft(uvws: Array, flux: Array, lmn: Array,
     channel range is empty contribute zero. Returns the accumulated
     visibilities (``vis + contribution`` if ``vis`` given).
     """
+    uvws = _check_uvw_rows(uvws, "dft")
+    flux = jnp.asarray(flux)
+    lmn = jnp.asarray(lmn)
+    if lmn.ndim != 2 or lmn.shape[-1] != 3:
+        raise SdpShapeError(f"dft: lmn must be [sources, 3]; got {lmn.shape}")
+    if flux.shape[0] != lmn.shape[0]:
+        raise SdpShapeError(
+            f"dft: flux ({flux.shape[0]}) and lmn ({lmn.shape[0]}) "
+            "source counts differ")
     num_rows = uvws.shape[0]
     if vis is not None:
         num_chan = vis.shape[1]

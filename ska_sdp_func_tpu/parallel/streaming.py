@@ -436,6 +436,24 @@ class _StreamEngine:
         self._first_t = jnp.asarray(c["first_t"])
         self._off_w = jnp.asarray(c["off_w"])
         self._num_planes_t = jnp.asarray(c["num_planes_t"])
+        # Per-biw tower-range tables (host ints baked as Python
+        # scalars into the trace): the attributes depend only on the
+        # box w index — same formulas as plan_stream, evaluated for
+        # every lattice biw row (present or not; harmless for absent
+        # rows, whose entries already carry task = -1).
+        nbw = int(c["nb3"][0])
+        biw_vals = int(c["b0"][0]) + np.arange(nbw)
+        offw_b = np.trunc(biw_vals * plan.w_tower_height)
+        wmin_b = biw_vals * plan.w_stack_dist - plan.w_stack_dist / 2
+        wmax_b = biw_vals * plan.w_stack_dist + plan.w_stack_dist / 2
+        first_b = (np.floor(wmin_b / plan.w_step - _ETA) - offw_b)
+        last_b = (np.ceil(wmax_b / plan.w_step + _ETA) - offw_b + 1)
+        self._biw_tab = dict(
+            n=nbw,
+            first=[int(x) for x in first_b],
+            nplanes=[int(1 + l - f)
+                     for f, l in zip(first_b, last_b)],
+            offw=[float(x) for x in offw_b])
         # Host f64 channel scaling, shipped as an f32 constant.
         scale = (plan.freq0_hz + (plan.dfreq_hz or 10.0)
                  * np.arange(plan.num_chan)) / C_0
@@ -519,15 +537,23 @@ class _StreamEngine:
             present = jnp.any(li[:, None] == r["fk"][None, :], axis=1)
             rank_ge = jnp.sum(cmp_ge, axis=1, dtype=jnp.int32)
             task = jnp.where(inb & present, rank_ge - 1, -1)
-            # A[task] via prefix differences (exact: int32 tables, and
-            # off_w holds trunc()'d values < 2^24 in f32).
-            first_e = jnp.sum(jnp.where(cmp_ge, r["d_first"][None, :],
-                                        0), axis=1, dtype=jnp.int32)
-            nplanes_e = jnp.sum(
-                jnp.where(cmp_ge, r["d_nplanes"][None, :], 0),
-                axis=1, dtype=jnp.int32)
-            off_w_e = jnp.sum(jnp.where(cmp_ge, r["d_offw"][None, :],
-                                        jnp.float32(0)), axis=1)
+            # The tower-range attributes are pure functions of the box
+            # W index (plan_stream derives them from the box
+            # w-interval), so they come from ``nbw``-way selects over
+            # the few distinct biw values (round-5: the three [N, T]
+            # prefix-difference chains this replaces were the
+            # dominant geometry cost at dense-chunk scale).
+            first_e = jnp.zeros_like(li)
+            nplanes_e = jnp.zeros_like(li)
+            off_w_e = jnp.zeros(li.shape, jnp.float32)
+            for kbw in range(int(self._biw_tab["n"])):
+                hit = i0 == kbw
+                first_e = jnp.where(
+                    hit, self._biw_tab["first"][kbw], first_e)
+                nplanes_e = jnp.where(
+                    hit, self._biw_tab["nplanes"][kbw], nplanes_e)
+                off_w_e = jnp.where(
+                    hit, self._biw_tab["offw"][kbw], off_w_e)
         elif self._lut2_oh is not None:
             # One-hot matmul lookup: one [N, nlat] @ [nlat, 8] product
             # replaces the row-gather (~30 ms -> ~2 ms at dense-chunk
@@ -798,17 +824,38 @@ class _StreamEngine:
         # round-trip of GB-scale band arrays, ~31-43 ms per dense
         # chunk on-chip in round 3) no longer exists. Visibilities
         # arrive pre-placed (sort payloads in _plan_chunk).
+        num_tasks = len(splan.tasks)
         if self._pack:
-            from ..kernels.fused_tap import grid_fused_pallas
+            # v3 stack form: per-task tower stacks accumulate in VMEM
+            # and the fold pass (plus its per-bucket window array —
+            # 64 KB per occupied bucket, re-paid EVERY chunk here)
+            # disappears. Per-block (task, slab, octet) derive from
+            # the traced block->bucket map (three integer ops).
+            from ..kernels.fused_tap import grid_fused_stack_pallas
 
-            wins = grid_fused_pallas(
-                block_bucket, arrays["packed_a"], arrays["packed_b"],
-                arrays["vre"], arrays["vim"], self._uv_c, self._w_c,
-                splan.num_buckets, plan.subgrid_size, plan.support,
-                plan.w_support, plan.oversampling, plan.w_oversampling,
-                block_v=splan.block_v, precision=self.precision,
+            bb = block_bucket
+            octet = jnp.mod(bb, splan.num_octets)
+            slab = jnp.mod(bb // splan.num_octets, splan.num_slabs)
+            task_b = bb // (splan.num_octets * splan.num_slabs)
+            sgs = plan.subgrid_size
+            stack = grid_fused_stack_pallas(
+                task_b, slab, octet, arrays["packed_a"],
+                arrays["packed_b"], arrays["vre"], arrays["vim"],
+                self._uv_c, self._w_c, num_tasks, splan.num_layers,
+                sgs, plan.support, plan.w_support, plan.oversampling,
+                plan.w_oversampling, block_v=splan.block_v,
+                precision=self.precision,
                 nonempty=arrays.get("nonempty"),
                 interpret=self.interpret)
+            st = stack.reshape(num_tasks, 2, splan.num_layers,
+                               sgs + 8, sgs)[:, :, :, :sgs, :]
+            layers = jax.lax.complex(st[:, 0], st[:, 1])
+            # Tasks with no occupied bucket this chunk were never
+            # visited by the kernel — their stacks are garbage; mask
+            # like the fold's visited mask (also voids on overflow).
+            tvis = jnp.any(visited.reshape(
+                num_tasks, splan.num_slabs * splan.num_octets), axis=1)
+            layers = jnp.where(tvis[:, None, None, None], layers, 0)
         else:
             from ..kernels.packed_tap import stream_prep_grid_pallas
 
@@ -824,10 +871,10 @@ class _StreamEngine:
                 plan.subgrid_size, plan.w_support,
                 block_v=splan.block_v,
                 fast=self.fast, interpret=self.interpret)
-        layers = _fold_windows(wins, visited, len(splan.tasks),
-                               splan.num_slabs, splan.num_octets,
-                               plan.w_support, splan.num_layers,
-                               self.interpret)
+            layers = _fold_windows(wins, visited, num_tasks,
+                                   splan.num_slabs, splan.num_octets,
+                                   plan.w_support, splan.num_layers,
+                                   self.interpret)
         layers = ifft_shifted(layers)
         subgrids = jnp.einsum("tkuv,kuv->tuv", layers,
                               _cplx(self.ladder)) * _cplx(self.pref)
@@ -1012,6 +1059,14 @@ class _StreamEngine:
         layers = fft_shifted(
             (subgrids * _cplx(self.pref_degrid))[:, None, :, :]
             * _cplx(self.ladder_degrid)[None])
+        if self._pack:
+            # Task-major stack layout for the v3 stack degrid kernel
+            # (see packed_tap.degrid_stack_pallas).
+            st = jnp.stack([layers.real.astype(jnp.float32),
+                            layers.imag.astype(jnp.float32)], axis=1)
+            st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
+            return st.reshape(len(splan.tasks), 2,
+                              splan.num_layers * (sgs + 8), sgs)
         st = jnp.stack([layers.real.astype(jnp.float32),
                         layers.imag.astype(jnp.float32)])
         st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
@@ -1044,10 +1099,12 @@ class _StreamEngine:
         hv_idx = jnp.zeros_like(bb)
 
         if self._pack:
-            from ..kernels.fused_tap import degrid_fused2_pallas
+            # v3 stack form: windows sliced from the task's resident
+            # tower stack (st is task-major here; _model_stack_impl).
+            from ..kernels.fused_tap import degrid_fused2_stack_pallas
 
-            out_raw = degrid_fused2_pallas(
-                st, p_idx, octet, hv_idx, arrays["packed_a"],
+            out_raw = degrid_fused2_stack_pallas(
+                st, task_b, slab, octet, arrays["packed_a"],
                 arrays["packed_b"], self._uv_c, self._w_c,
                 plan.subgrid_size, plan.support, plan.w_support,
                 plan.oversampling, plan.w_oversampling,
