@@ -45,8 +45,17 @@ def _create_cbeam(cbeam_details: Array, size: int) -> Array:
 
 
 def create_cbeam(cbeam_details, size: int) -> Array:
-    """Public clean-beam constructor; returns a real [size, size] beam."""
-    return _create_cbeam(jnp.asarray(cbeam_details), int(size))
+    """Public clean-beam constructor; returns a real [size, size] beam.
+
+    ``cbeam_details`` must hold [bmaj, bmin, theta_deg, size] — the
+    reference's 4-element contract (sdp_hogbom_clean.cpp:33-80).
+    """
+    cbeam_details = jnp.asarray(cbeam_details)
+    if cbeam_details.ndim != 1 or cbeam_details.shape[0] < 3:
+        raise SdpShapeError(
+            "create_cbeam: cbeam_details must be a vector "
+            f"[bmaj, bmin, theta_deg, ...]; got {cbeam_details.shape}")
+    return _create_cbeam(cbeam_details, int(size))
 
 
 @partial(jax.jit, static_argnames=("cycle_limit",))

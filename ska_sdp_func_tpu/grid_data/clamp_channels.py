@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utility.constants import C_0
+from ..utility.errors import SdpInvalidArgumentError, SdpShapeError
 
 Array = jax.Array
 
@@ -89,6 +90,14 @@ def clamp_channels_single(uvws: Array, dim: int, freq0_hz, dfreq_hz,
     :param min_u: inclusive lower bound (scaled units, i.e. wavelengths).
     :param max_u: exclusive upper bound.
     """
+    uvws = jnp.asarray(uvws)
+    if uvws.ndim != 2 or uvws.shape[-1] != 3:
+        raise SdpShapeError(
+            f"clamp_channels_single: uvws must be [n, 3]; got "
+            f"{uvws.shape}")
+    if dim not in (0, 1, 2):
+        raise SdpInvalidArgumentError(
+            f"clamp_channels_single: dim must be 0, 1 or 2; got {dim}")
     return _clamp_1d(uvws[:, dim], freq0_hz, dfreq_hz,
                      start_chs, end_chs, min_u, max_u)
 
@@ -102,6 +111,10 @@ def clamp_channels_uv(uvws: Array, freq0_hz, dfreq_hz,
     Equivalent of `sdp_gridder_clamp_channels_uv`
     (sdp_gridder_clamp_channels.h:79-94).
     """
+    uvws = jnp.asarray(uvws)
+    if uvws.ndim != 2 or uvws.shape[-1] != 3:
+        raise SdpShapeError(
+            f"clamp_channels_uv: uvws must be [n, 3]; got {uvws.shape}")
     start_chs, end_chs = _clamp_1d(
         uvws[:, 0], freq0_hz, dfreq_hz, start_chs, end_chs, min_u, max_u)
     start_chs, end_chs = _clamp_1d(

@@ -183,6 +183,16 @@ class GridderWtowerUVW:
                                    jnp.complexfloating):
             raise SdpDataTypeError(
                 f"vis must be complex; got {jnp.asarray(vis).dtype}")
+        if vis is not None and jnp.asarray(vis).dtype == jnp.complex128 \
+                and uvws.dtype == jnp.float32:
+            # The reference's template set supports (cf64, f64),
+            # (cf32, f64) and (cf32, f32) — cf64 vis over f32 uvw is
+            # an expected failure (sdp_gridder_wtower_uvw.cpp:201-230):
+            # f32 coordinates cannot place double-precision data.
+            raise SdpDataTypeError(
+                "complex128 vis with float32 uvws is unsupported "
+                "(mixed-precision combos follow "
+                "sdp_gridder_wtower_uvw.cpp:201-230)")
 
     # -- degrid -------------------------------------------------------------
     def degrid(self, subgrid_image: Array, subgrid_offset_u: int,

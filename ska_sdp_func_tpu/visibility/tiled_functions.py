@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utility.constants import C_0
+from ..utility.errors import SdpShapeError
 
 Array = jax.Array
 
@@ -119,6 +120,7 @@ def count_and_prefix_sum(uvw: Array, freqs: Array, grid_size: int,
     uvw = jnp.asarray(uvw)
     freqs = jnp.asarray(freqs)
     geom = _geometry(grid_size, tile_size_u, tile_size_v, support)
+    uvw = _check_tiled_uvw(uvw)
     (valid, tile_key, _, _, _, ok) = _candidates(
         uvw, freqs, grid_size, tile_size_u, tile_size_v, cell_size_rad,
         support, geom)
@@ -138,8 +140,21 @@ def count_and_prefix_sum(uvw: Array, freqs: Array, grid_size: int,
     return offsets, counts, num_skipped, num_visibilities
 
 
+def _check_tiled_uvw(uvw):
+    """Data-model contract shared by the tiled trio: uvw must be the
+    canonical ``[time, baseline, 3]`` layout (the reference validates
+    via sdp_data_model_check_uvw on every entry,
+    sdp_tiled_functions.cpp)."""
+    uvw = jnp.asarray(uvw)
+    if uvw.ndim != 3 or uvw.shape[-1] != 3:
+        raise SdpShapeError(
+            f"uvw must be [time, baseline, 3]; got {uvw.shape}")
+    return uvw
+
+
 def _sorted_records(uvw, freqs, grid_size, tile_size_u, tile_size_v,
                     cell_size_rad, support):
+    uvw = _check_tiled_uvw(uvw)
     geom = _geometry(grid_size, tile_size_u, tile_size_v, support)
     (valid, tile_key, pos_u, pos_v, vis_idx, _) = _candidates(
         jnp.asarray(uvw), jnp.asarray(freqs), grid_size, tile_size_u,

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utility.constants import C_0
+from ..utility.errors import SdpShapeError
 from ..utility.data_model import check_uvw, check_weights
 
 Array = jax.Array
@@ -32,6 +33,11 @@ Array = jax.Array
 def get_uv_range(uvw: Array, freq_hz: Array) -> float:
     """Max absolute u coordinate in wavelength units at the top frequency
     (reference Python helper, weighting.py:41-60)."""
+    uvw = jnp.asarray(uvw)
+    if uvw.ndim != 3 or uvw.shape[-1] != 3:
+        raise SdpShapeError(
+            f"get_uv_range: uvw must be [time, baseline, 3]; got "
+            f"{uvw.shape}")
     max_abs_uv = float(jnp.max(jnp.abs(uvw[:, :, 0:1])))
     return max_abs_uv * float(freq_hz[-1]) / C_0
 

@@ -374,3 +374,223 @@ def test_wstack_grid_all_requires_image_template():
         wstack_wtower_grid_all(
             vis, C_0, C_0 / 100, jnp.asarray(uvw), 32, 0.002, 100.0,
             0.0, 0.0, 8, 16384, 4, 16384, 2.0 / 3.0, 4.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 breadth: one expected-failure case per remaining public
+# function (VERDICT r4 #9 — the reference's per-function
+# dtype/shape/mixed-precision sweeps, test_fft.cpp:25-40,202 pattern).
+# ---------------------------------------------------------------------------
+
+
+def test_clamp_channels_single_bad_dim():
+    from ska_sdp_func_tpu.grid_data import clamp_channels_single
+
+    uvw = jnp.zeros((4, 3))
+    chs = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(SdpInvalidArgumentError):
+        clamp_channels_single(uvw, 5, C_0, C_0 / 100, chs, chs + 2,
+                              -1.0, 1.0)
+
+
+def test_clamp_channels_single_bad_uvw_shape():
+    from ska_sdp_func_tpu.grid_data import clamp_channels_single
+
+    chs = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(SdpShapeError):
+        clamp_channels_single(jnp.zeros((4, 2)), 0, C_0, C_0 / 100,
+                              chs, chs + 2, -1.0, 1.0)
+
+
+def test_clamp_channels_uv_bad_uvw_shape():
+    from ska_sdp_func_tpu.grid_data import clamp_channels_uv
+
+    chs = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(SdpShapeError):
+        clamp_channels_uv(jnp.zeros((4,)), C_0, C_0 / 100, chs,
+                          chs + 2, -1.0, 1.0, -1.0, 1.0)
+
+
+def test_uvw_bounds_all_bad_shape():
+    from ska_sdp_func_tpu.grid_data import uvw_bounds_all
+
+    chs = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(SdpShapeError):
+        uvw_bounds_all(jnp.zeros((4, 4)), C_0, C_0 / 100, chs, chs + 1)
+
+
+def test_gridder_dft_mismatched_sources():
+    from ska_sdp_func_tpu.grid_data import dft
+
+    with pytest.raises(SdpShapeError):
+        dft(jnp.zeros((5, 3)), jnp.ones((3,)), jnp.zeros((4, 3)))
+
+
+def test_gridder_dft_bad_lmn():
+    from ska_sdp_func_tpu.grid_data import dft
+
+    with pytest.raises(SdpShapeError):
+        dft(jnp.zeros((5, 3)), jnp.ones((4,)), jnp.zeros((4, 2)))
+
+
+def test_gridder_idft_needs_image_or_shape():
+    from ska_sdp_func_tpu.grid_data import idft
+
+    vis = jnp.ones((5, 2), jnp.complex64)
+    with pytest.raises(SdpInvalidArgumentError):
+        idft(jnp.zeros((5, 3)), vis, jnp.zeros((16, 3)))
+
+
+def test_subgrid_add_oversize_subgrid():
+    from ska_sdp_func_tpu.grid_data import subgrid_add
+
+    with pytest.raises(SdpShapeError):
+        subgrid_add(jnp.zeros((16, 16), jnp.complex64), 0, 0,
+                    jnp.ones((32, 32), jnp.complex64))
+
+
+def test_subgrid_cut_out_oversize():
+    from ska_sdp_func_tpu.grid_data import subgrid_cut_out
+
+    with pytest.raises(SdpShapeError):
+        subgrid_cut_out(jnp.zeros((16, 16), jnp.complex64), 0, 0, 32)
+
+
+def test_wtower_mixed_precision_combo_rejected(wtower_kernel):
+    # Reference template set: (cf64, f64), (cf32, f64), (cf32, f32) —
+    # cf64 vis over f32 uvw is an expected failure
+    # (sdp_gridder_wtower_uvw.cpp:201-230).
+    k = wtower_kernel
+    uvw = jnp.zeros((4, 3), jnp.float32)
+    chs = jnp.zeros((4,), jnp.int32)
+    vis = jnp.ones((4, 2), jnp.complex128)
+    sub = jnp.zeros((k.subgrid_size, k.subgrid_size), jnp.complex128)
+    with pytest.raises(SdpDataTypeError):
+        k.grid_subgrid(vis, uvw, chs, chs + 2, 2, C_0, C_0 / 100,
+                       sub, (0, 0, 0))
+
+
+def test_phase_rotate_vis_bad_rank():
+    from ska_sdp_func_tpu.utility import SkyCoord
+    from ska_sdp_func_tpu.visibility import phase_rotate_vis
+
+    orig = SkyCoord("icrs", 0.1, 0.5)
+    new = SkyCoord("icrs", 0.11, 0.51)
+    uvw = jnp.zeros((2, 3, 3))
+    with pytest.raises(SdpShapeError):
+        phase_rotate_vis(orig, new, C_0, C_0 / 100, uvw,
+                         jnp.ones((2, 3, 4), jnp.complex64))
+
+
+def test_get_uv_range_bad_rank():
+    from ska_sdp_func_tpu.visibility import get_uv_range
+
+    with pytest.raises(SdpShapeError):
+        get_uv_range(jnp.zeros((10, 3)), jnp.asarray([C_0]))
+
+
+def test_uniform_weights_bad_uvw():
+    from ska_sdp_func_tpu.visibility import uniform_weights
+
+    with pytest.raises(SdpShapeError):
+        uniform_weights(jnp.zeros((2, 3, 2)), jnp.asarray([C_0]), 10.0,
+                        jnp.ones((2, 3, 1, 1)))
+
+
+def test_count_and_prefix_sum_bad_uvw():
+    from ska_sdp_func_tpu.visibility import count_and_prefix_sum
+
+    with pytest.raises(SdpShapeError):
+        count_and_prefix_sum(jnp.zeros((10, 3)), jnp.asarray([C_0]),
+                             64, 32, 16, 1e-5, 8)
+
+
+def test_bucket_sort_bad_uvw():
+    from ska_sdp_func_tpu.visibility import bucket_sort
+
+    with pytest.raises(SdpShapeError):
+        bucket_sort(jnp.zeros((10, 2)), jnp.asarray([C_0]),
+                    jnp.ones((10, 1, 1, 1), jnp.complex64),
+                    jnp.ones((10, 1, 1, 1)), 64, 32, 16, 1e-5, 8)
+
+
+def test_tiled_indexing_bad_uvw():
+    from ska_sdp_func_tpu.visibility import tiled_indexing
+
+    with pytest.raises(SdpShapeError):
+        tiled_indexing(jnp.zeros((10, 3)), jnp.asarray([C_0]), 64, 32,
+                       16, 1e-5, 8)
+
+
+def test_optimized_weighting_bad_uvw():
+    from ska_sdp_func_tpu.visibility import optimized_weighting
+
+    with pytest.raises(SdpShapeError):
+        optimized_weighting(jnp.zeros((10, 3)), jnp.asarray([C_0]),
+                            jnp.ones((10, 1, 1, 1), jnp.complex64),
+                            jnp.ones((10, 1, 1, 1)), 0.5, 64, 1e-5, 8)
+
+
+def test_create_cbeam_bad_details():
+    from ska_sdp_func_tpu.clean import create_cbeam
+
+    with pytest.raises(SdpShapeError):
+        create_cbeam(jnp.ones((2, 2)), 64)
+
+
+def test_fft_convolution_non_square():
+    from ska_sdp_func_tpu.numeric_functions import fft_convolution
+
+    with pytest.raises(SdpShapeError):
+        fft_convolution(jnp.ones((8, 4), jnp.complex64),
+                        jnp.ones((8, 8), jnp.complex64))
+
+
+def test_dipole_real_element_beam():
+    from ska_sdp_func_tpu.station_beam import dipole
+
+    theta = jnp.zeros((5,))
+    with pytest.raises(SdpDataTypeError):
+        dipole(theta, theta, C_0, 0.5, 1, 0, jnp.zeros((5,)))
+
+
+def test_generate_pswf_bad_size():
+    from ska_sdp_func_tpu.fourier_transforms import generate_pswf
+
+    with pytest.raises(SdpInvalidArgumentError):
+        generate_pswf(0, 4 * np.pi / 2, 0)
+
+
+def test_pswf_coefficients_nonzero_m():
+    from ska_sdp_func_tpu.fourier_transforms import Pswf
+
+    with pytest.raises(SdpInvalidArgumentError):
+        _ = Pswf(1, 4 * np.pi / 2).coefficients
+
+
+def test_determine_max_w_tower_height_needs_fov():
+    from ska_sdp_func_tpu.grid_data import determine_max_w_tower_height
+
+    with pytest.raises(SdpInvalidArgumentError):
+        determine_max_w_tower_height(
+            subgrid_size=128, theta=0.002, w_step=100.0, shear_u=0.0,
+            shear_v=0.0, support=8, oversampling=16384, w_support=4,
+            w_oversampling=16384, image_size=256)
+
+
+def test_es_params_epsilon_floor():
+    from ska_sdp_func_tpu.grid_data import calculate_params_from_epsilon
+
+    with pytest.raises(ValueError):
+        calculate_params_from_epsilon(1e-7, 256, True)
+
+
+def test_wstack_degrid_all_bad_image():
+    from ska_sdp_func_tpu.grid_data.wstack import wstack_wtower_degrid_all
+
+    rng = np.random.default_rng(0)
+    uvw = rng.uniform(-1, 1, (20, 3))
+    with pytest.raises((SdpShapeError, SdpInvalidArgumentError)):
+        wstack_wtower_degrid_all(
+            jnp.ones((16,)), C_0, C_0 / 100, jnp.asarray(uvw), 32,
+            0.002, 100.0, 0.0, 0.0, 8, 16384, 4, 16384, 2.0 / 3.0, 4.0)
