@@ -607,6 +607,89 @@ def grid_compact_pallas(t_idx, k_idx, g_idx, pa, uk_t, vk_t, wk_t,
       vre.reshape(1, total), vim.reshape(1, total))
 
 
+def _degrid_compact_kernel(t_ref, k_ref, g_ref, pa_ref, ukt_ref,
+                           vkt_ref, wkt_ref, ts_ref, out_ref, *,
+                           support: int, w_support: int, lanes: int,
+                           sub_pad: int, precision):
+    from .packed_tap import _degrid_math, _window_from_stack
+
+    b = pl.program_id(0)
+    win = _window_from_stack(ts_ref, k_ref[b], g_ref[b] * 8,
+                             w_support, sub_pad)
+    pa = pa_ref[0, :]
+    iv0 = pa >> 20
+    u_off = (pa >> 17) & 7
+    n = pa.shape[0]
+    uk = ukt_ref[:]
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, n), 0)
+    ub = jnp.zeros((WIN_ROWS, n), jnp.float32)
+    for s in range(support):
+        ub = jnp.where(row16 == u_off + s, uk[s], ub)
+    vbt = _place_vband_t(vkt_ref[:], iv0, n, lanes, support)
+    _degrid_math(win, ub, vbt, wkt_ref[:], out_ref, w_support,
+                 precision)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "support", "w_support", "block_v", "fast", "interpret", "raw"))
+def degrid_compact_pallas(stack: Array, t_idx, k_idx, g_idx, pa, uk_t,
+                          vk_t, wk_t, support: int, w_support: int,
+                          block_v: int = 512, fast: bool = False,
+                          interpret: bool = False,
+                          raw: bool = False) -> Array:
+    """Compact-stream degridding from per-task tower stacks.
+
+    Streams per slot: pa (4 B) + uk/vk [support, V] (64 B) + wk
+    [w_support, V] (16 B) = 84 B vs the band form's 592 — the degrid
+    band kernel measured AT its multi-stream DMA bound (2.95 ms vs a
+    2.4 ms byte floor on the 1M-vis headline), so bytes are time
+    there, and the in-kernel PLACEMENT (no Chebyshev — the expensive
+    half of the fused build) adds only VPU selects. ``wk_t`` must be
+    pre-zeroed on invalid/padding slots (the plan arrays carry
+    ``wk * valid``). Returns [V] complex64 in sorted order.
+    """
+    total = pa.shape[0]
+    num_blocks = total // block_v
+    lanes = stack.shape[3]
+    ksp = stack.shape[2]
+    sub_pad = lanes + 8
+
+    def tap(rows):
+        return pl.BlockSpec((rows, block_v), lambda b, t, k, g: (0, b),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _degrid_compact_kernel, support=support,
+            w_support=w_support, lanes=lanes, sub_pad=sub_pad,
+            precision=(jax.lax.Precision.DEFAULT if fast
+                       else jax.lax.Precision.HIGHEST)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, block_v), lambda b, t, k, g: (0, b),
+                             memory_space=pltpu.VMEM),
+                tap(support), tap(support), tap(w_support),
+                pl.BlockSpec((1, 2, ksp, lanes),
+                             lambda b, t, k, g: (t[b], 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, block_v),
+                                   lambda b, t, k, g: (0, b),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(t_idx, k_idx, g_idx, pa.reshape(1, total), uk_t, vk_t, wk_t,
+      stack)
+    if raw:
+        return out
+    return jax.lax.complex(out[0], out[1])
+
+
 def _place_vband_t(vk, iv0, n: int, lanes: int, support: int):
     """Row-major twin of :func:`_place_vband`: vk [S, n] placed at
     sublane offsets iv0 -> [lanes, n] (vis on lanes)."""

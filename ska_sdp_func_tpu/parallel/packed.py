@@ -51,9 +51,11 @@ from ..grid_data.gridder_utils import (
     subgrid_cut_out_static,
 )
 from ..kernels.fused_tap import (
+    degrid_compact_pallas,
     degrid_fused2_pallas,
     degrid_fused2_stack_pallas,
     fused_geometry_ok,
+    grid_compact_pallas,
     grid_fused_pallas,
     grid_fused_stack_pallas,
     pack_plan_words,
@@ -629,11 +631,18 @@ class PackedGridder:
             plan.w_oversampling)
         self._fused_grid = engine == "fused" and packable
         self._fused_degrid = engine == "fused" and packable
+        # "compact": pre-evaluated taps streamed (84 B/slot resident
+        # vs the band arrays' ~600), placement in-kernel — measured
+        # speed-equal to bands (grid identical; degrid +6% head / -3%
+        # dense, experiments/exp_compact_degrid.py) at ~6x less plan
+        # HBM. Opt-in: the mesh-sharded drivers still consume the
+        # band operand format.
+        self._compact = engine == "compact" and packable
         # Back-compat alias (introspected by tests/experiments): true
         # only when BOTH directions run the fused kernels.
         self._fused = self._fused_grid and self._fused_degrid
 
-        if self._fused_grid:
+        if self._fused_grid or self._compact:
             pa, pb = pack_plan_words(
                 arrays["iv0"].astype(np.int32),
                 arrays["u_off"].astype(np.int32),
@@ -641,11 +650,28 @@ class PackedGridder:
                 arrays["u_frac"].astype(np.int32),
                 arrays["v_frac"].astype(np.int32), arrays["valid"])
             self.pa = jnp.asarray(pa)
-            self.pb = jnp.asarray(pb)
+            self.pb = jnp.asarray(pb) if self._fused_grid else None
         else:
             self.pa = self.pb = None
         self.wk_t = self.ubase = self.vband = self.vband_t = None
-        if not (self._fused_grid and self._fused_degrid):
+        self.uk_t = self.vk_t = None
+        if self._compact:
+            from ..grid_data.kernels import eval_kernel_taps
+
+            def _device_taps(u_frac, v_frac, w_row, valid):
+                uk = eval_kernel_taps(u_frac, uv_c, plan.oversampling)
+                vk = eval_kernel_taps(v_frac, uv_c, plan.oversampling)
+                wk = jnp.where(
+                    valid[:, None],
+                    eval_kernel_taps(w_row, w_c, plan.w_oversampling),
+                    0.0)
+                return uk.T, vk.T, wk.T
+
+            (self.uk_t, self.vk_t, self.wk_t) = jax.jit(_device_taps)(
+                jnp.asarray(arrays["u_frac"]),
+                jnp.asarray(arrays["v_frac"]),
+                jnp.asarray(arrays["w_row"]), self.valid)
+        elif not (self._fused_grid and self._fused_degrid):
             from ..grid_data.kernels import eval_kernel_taps
 
             need_vband = not self._fused_grid
@@ -685,10 +711,17 @@ class PackedGridder:
                     jnp.asarray(arrays["iv0"]), self.valid)
             self.vband = vband if need_vband else None
             self.vband_t = vband_t if need_vband_t else None
-        self._grid_ops = ((self.pa, self.pb) if self._fused_grid
-                          else (self.wk_t, self.ubase, self.vband))
-        self._degrid_ops = ((self.pa, self.pb) if self._fused_degrid
-                            else (self.wk_t, self.ubase, self.vband_t))
+        if self._compact:
+            self._grid_ops = (self.pa, self.uk_t, self.vk_t,
+                              self.wk_t)
+            self._degrid_ops = self._grid_ops
+        else:
+            self._grid_ops = ((self.pa, self.pb) if self._fused_grid
+                              else (self.wk_t, self.ubase, self.vband))
+            self._degrid_ops = ((self.pa, self.pb)
+                                if self._fused_degrid
+                                else (self.wk_t, self.ubase,
+                                      self.vband_t))
 
         # Shared w-pattern ladders + per-task prefactors (host numpy
         # c128 -> device via re/im-plane transfer; jit constants must
@@ -763,6 +796,14 @@ class PackedGridder:
     def _stage_kernel(self, vre, vim, ops, block_bucket):
         pplan = self.pplan
         plan = pplan.wplan
+        if self._compact:
+            pa, uk_t, vk_t, wk_t = ops
+            t_idx, k_idx, g_idx = block_bucket
+            return grid_compact_pallas(
+                t_idx, k_idx, g_idx, pa, uk_t, vk_t, wk_t, vre, vim,
+                len(pplan.tasks), pplan.num_layers, plan.subgrid_size,
+                plan.support, plan.w_support, block_v=pplan.block_v,
+                precision=self.precision, interpret=self.interpret)
         if self._fused_grid:
             pa, pb = ops
             t_idx, k_idx, g_idx = block_bucket
@@ -890,6 +931,13 @@ class PackedGridder:
         # (~250 MB per 1M-vis whole-image call).
         plan = self.pplan.wplan
         t_idx, k_idx, g_idx = block_bucket
+        if self._compact:
+            pa, uk_t, vk_t, wk_t = ops
+            return degrid_compact_pallas(
+                st, t_idx, k_idx, g_idx, pa, uk_t, vk_t, wk_t,
+                plan.support, plan.w_support,
+                block_v=self.pplan.block_v, fast=self.fast,
+                interpret=self.interpret)
         if self._fused_degrid:
             pa, pb = ops
             return degrid_fused2_stack_pallas(
@@ -1096,6 +1144,11 @@ class PackedGridder:
                 tuple(mesh.axis_names), axis_name)
 
     def _check_mesh(self, mesh):
+        if getattr(self, "_compact", False):
+            raise SdpInvalidArgumentError(
+                "mesh-sharded drivers consume the band operand format "
+                "— build the gridder with engine='bands' (or 'auto') "
+                "for sharded use")
         ndev = int(mesh.devices.size)
         if self.pplan.num_blocks % ndev:
             raise SdpInvalidArgumentError(

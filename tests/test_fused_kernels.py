@@ -1,14 +1,13 @@
 """Fused (in-kernel tap evaluation) grid/degrid kernels vs the
 streamed-band packed kernels.
 
-The fused kernels are the streaming engine and, since the round-4 v2
-sweep, also the plan-once GRID default: ``engine="auto"`` routes grid
-through the fused ROW-form kernel (390-397 f32 Mvis/s at 16 B/slot,
-matching the HBM-bound band kernel with ~37x less stream traffic) and
-degrid through the band kernel (band 390 vs fused 311 — the window
-assembly leaves no room to hide the serialized tap build).  The
-streaming suite exercises them end-to-end; here the kernels are pinned
-DIRECTLY
+The fused kernels are the STREAMING engine; since the round-5 v3
+stack-kernel A/B (bands 454.9/202.6 vs fused 375.4/175.7 Mvis/s
+whole-image) the plan-once default ``engine="auto"`` routes BOTH
+directions through the band kernels, with ``engine="compact"``
+(pre-evaluated taps streamed at ~84 B/slot, placement in-kernel) as
+the speed-equal low-HBM alternative.  The streaming suite exercises
+the fused kernels end-to-end; here the kernels are pinned DIRECTLY
 against the band-streaming formulation on the same plan, plus the
 word packing round-trip and the "high" (manual bf16-split) accuracy
 budget.  The comparison is tolerance-based, not bit-exact: the fused
@@ -16,6 +15,12 @@ kernels evaluate the Chebyshev fits via a basis recurrence + one MXU
 coefficient dot (round-4 v2 — ~70 VPU lane-ops/entry vs ~800 for the
 per-support Clenshaw the band build uses), which agrees with Clenshaw
 to a few ulps, not bitwise.
+
+NOTE: the two ``*_matches_band_kernel`` tests below compare the OLD
+per-bucket-window kernel forms against each other on identical
+operands — since the v3 stack migration the driver no longer produces
+those layouts, so the inputs these tests hand the old kernels are
+layout-agnostic kernel-parity fixtures, not driver state.
 """
 
 import numpy as np
@@ -201,3 +206,42 @@ def test_grid_fused_high_precision_budget(setup):
     high = np.asarray(run("high"))[:, visited]
     peak = np.abs(ref).max()
     assert np.abs(high - ref).max() <= 1e-5 * peak
+
+
+@pytest.mark.parametrize("direction", ["grid", "degrid"])
+def test_compact_engine_matches_bands(direction):
+    """engine='compact' (taps streamed, placement in-kernel) must
+    match the band engine to f32 tolerance on both directions."""
+    from ska_sdp_func_tpu.parallel import plan_wstack
+    from ska_sdp_func_tpu.parallel.packed import (packed_gridder,
+                                                  plan_packed)
+
+    C_0 = 299792458.0
+    rng = np.random.default_rng(11)
+    rows, chans, image, subgrid = 400, 3, 256, 128
+    uvw = rng.uniform(-1, 1, (rows, 3))
+    uvw[:, :2] *= 0.4 * image / 2 / 0.002
+    uvw[:, 2] *= 1.2 * 100.0 * 4.0
+    vis = (rng.standard_normal((rows, chans))
+           + 1j * rng.standard_normal((rows, chans))
+           ).astype(np.complex64)
+    plan = plan_wstack(uvw, C_0, C_0 / 300, chans, image, subgrid,
+                       0.002, 100.0, support=8, w_support=4,
+                       w_tower_height=4.0)
+    pplan = plan_packed(plan, uvw, block_v=128)
+    gb = packed_gridder(pplan, engine="bands")
+    gc = packed_gridder(pplan, engine="compact")
+    assert gc._compact
+    if direction == "grid":
+        a = np.asarray(gb.grid(jnp.asarray(vis)))
+        b = np.asarray(gc.grid(jnp.asarray(vis)))
+        # compare interiors; the 1/PSWF border diverges on both paths
+        m = 16
+        a, b = a[m:-m, m:-m], b[m:-m, m:-m]
+        scale = np.abs(a).max()
+    else:
+        model = jnp.zeros((image, image), jnp.float32)             .at[150, 100].set(1.0)
+        a = np.asarray(gb.degrid_sorted(model))
+        b = np.asarray(gc.degrid_sorted(model))
+        scale = np.abs(a).max()
+    assert np.abs(a - b).max() / scale < 2e-6

@@ -197,7 +197,7 @@ def test_report_timing_stages(scenario):
                              print_fn=lines.append)
     assert len(stages) == 4
     assert all(t >= 0.0 for t in stages.values())
-    assert any("packed kernel" in ln for ln in lines)
+    assert any("stack kernel" in ln for ln in lines)
     # Degrid mirror.
     size = s["plan"].image_size
     model = jnp.zeros((size, size), jnp.float32) \
