@@ -116,7 +116,7 @@ def _measure_rooflines(red):
     # single-op probe forms (a 192 MiB triad pass measured "218 GB/s"
     # that was mostly dispatch, not bandwidth).
     n = 48 * 1024 * 1024
-    iters = 20
+    iters = 100
 
     @jax.jit
     def tri_loop(x):
@@ -207,7 +207,10 @@ def _measure_rooflines(red):
     @jax.jit
     def mm_loop(a, y):
         def body(_i, y):
-            z = a @ y
+            # Explicit HIGHEST: a bare matmul runs DEFAULT (bf16
+            # single-pass) on TPU — the probe would measure the bf16
+            # pipeline while claiming an f32 peak.
+            z = jnp.dot(a, y, precision=jax.lax.Precision.HIGHEST)
             return z * jax.lax.rsqrt(jnp.mean(z * z) + 1e-9)
         return jax.lax.fori_loop(0, iters, body, y)
 
@@ -467,7 +470,11 @@ def main():
     # variance behind an unexplained cross-round regression).
     img = g.grid_sorted(vre0, vim0)
     _ = float(red(img))                        # compile + settle
-    iters = 20
+    # Amortise the ~22 ms tunnel round trip to <2% of the loop
+    # (PERFORMANCE.md round-5: every chained loop pays ONE readback
+    # RTT; at the old iters=20 that biased every per-call figure by
+    # ~1.1 ms).
+    iters = 150
     state = {"vre": vre0, "img": img}
 
     def grid_step():
@@ -522,7 +529,7 @@ def main():
         mstate["model"] = step(mstate["model"])   # naturally chained
 
     mc_dt, mc_spread = _measure(
-        mc_step, lambda: float(red(mstate["model"])), 10)
+        mc_step, lambda: float(red(mstate["model"])), 50)
     model = mstate["model"]
 
     if os.environ.get("SKA_SDP_FUNC_TPU_BENCH_REPORT"):
@@ -552,7 +559,7 @@ def main():
         dn["dre"] = fb(dn["dre"], red(dn["img"]))
 
     dense_dt, dense_spread = _measure(
-        dense_step, lambda: float(red(dn["img"])), 10)
+        dense_step, lambda: float(red(dn["img"])), 60)
     dense_mvis = nvis_d / dense_dt / 1e6
 
     # ---- opt-in bf16 fast mode on the dense stream -----------------
@@ -566,7 +573,7 @@ def main():
         fs["dre"] = fb(fs["dre"], red(fs["img"]))
 
     fast_dt, _fast_spread = _measure(
-        fast_step, lambda: float(red(fs["img"])), 10)
+        fast_step, lambda: float(red(fs["img"])), 60)
     fast_mvis = nvis_d / fast_dt / 1e6
 
     # ---- streaming ingest (device-planned) on the dense stream -----
@@ -690,10 +697,10 @@ def _stream_child():
     _ = float(red(state[0]))
     for _loop in range(2):
         t0 = time.perf_counter()
-        for _i in range(10):
+        for _i in range(50):
             state = se.step(*state, uvw32, mask_s, sre, sim)
         _ = float(red(state[0]))
-        stream_dt = (time.perf_counter() - t0) / 10
+        stream_dt = (time.perf_counter() - t0) / 50
     stream_clean = int(state[2]) == 0 and int(state[3]) == 0
     print(json.dumps({"stream_ingest_mvis_s": round(
         nvis_d / stream_dt / 1e6 if stream_clean else 0.0, 3)}))
