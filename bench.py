@@ -388,9 +388,9 @@ def _smoke(verbose: bool = True) -> dict:
     # f32 degrid correction — an artifact of chaining raw images, not
     # a kernel property.
     model = jnp.zeros((image, image), jnp.float32).at[150, 100].set(1.0)
-    cases = [("bands", "highest"), ("compact", "highest"),
-             ("fused", "highest"), ("fused", "high"),
-             ("fused", "bf16")]
+    cases = [("bands", "highest"), ("bands", "high"),
+             ("compact", "highest"), ("fused", "highest"),
+             ("fused", "high"), ("fused", "bf16")]
     for engine, precision in cases:
         gs = packed_gridder(pplan, engine=engine, precision=precision)
         img = gs.grid(visd)

@@ -76,10 +76,11 @@ _PRECISIONS = ("highest", "high", "bf16")
 
 def _split_hi_lo(x):
     """bf16 hi/lo decomposition: ``x ~ hi + lo`` with ~16 mantissa
-    bits of joint precision (each half rides a single-pass MXU dot)."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    bits of joint precision (each half rides a single-pass MXU dot).
+    Bit-level form: see packed_tap.split_bf16 — the naive cast/sub is
+    elided under excess-precision folding."""
+    from .packed_tap import split_bf16
+    return split_bf16(x)
 
 
 def _dot_prec(a, b, precision_name: str):

@@ -61,6 +61,24 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 PREP_G = 1024             # stream-prep granule (native 1-D lane tile)
 
 
+def split_bf16(x):
+    """bf16 hi/lo decomposition robust to excess-precision folding.
+
+    The naive ``x - f32(bf16(x))`` is ELIDED to zero both under the
+    attachment's --xla_allow_excess_precision=true and by LLVM on the
+    CPU backend (measured: the lo half collapses and "high" degrades
+    to bf16-class 1e-3 error). Round the upper 16 bits to
+    nearest-even explicitly instead; the subtraction is then plain
+    f32 arithmetic nothing can fold away.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    hi_f = jax.lax.bitcast_convert_type(rounded, jnp.float32)
+    lo = x - hi_f
+    return hi_f.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
 def _precision(fast: bool):
     return jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
 
@@ -186,6 +204,45 @@ def _grid_stack_kernel_split(t_ref, k_ref, g_ref, ubase_ref,
                       sub_pad)
 
 
+def _grid_stack_kernel_split_high(t_ref, k_ref, g_ref, ubase_ref,
+                                  vbh_ref, vbl_ref, wkt_ref, vre_ref,
+                                  vim_ref, out_ref, *, num_p: int,
+                                  sub_pad: int):
+    """Band-stream grid kernel, "high" precision: the v-band streams
+    pre-split as bf16 hi/lo halves (same 4 B/lane as f32) and the
+    scale stack splits in VMEM — three SINGLE-PASS bf16 MXU dots with
+    f32 accumulate replace the multi-pass native-f32 HIGHEST dot.
+    De-biased MXU peaks (BENCH_r05 probes): bf16 ~161 TF/s vs f32
+    HIGHEST 29.6 — three bf16 passes are ~1.8x the native f32 mode at
+    ~1.4e-6 taper-weighted accuracy (two orders inside the f32 path's
+    2.5e-4 oracle envelope). The dropped lo@lo term is ~2^-18
+    relative."""
+    b = pl.program_id(0)
+    prev = t_ref[jnp.maximum(b - 1, 0)]
+    first = jnp.logical_or(b == 0, prev != t_ref[b])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    sw = num_p // 2
+    wk = wkt_ref[:]
+    vre = vre_ref[0, :]
+    vim = vim_ref[0, :]
+    u_all = jnp.concatenate(
+        [ubase_ref[:] * (wk[j] * vre)[None, :] for j in range(sw)]
+        + [ubase_ref[:] * (wk[j] * vim)[None, :] for j in range(sw)],
+        axis=0)
+    u_hi, u_lo = split_bf16(u_all)
+    d = functools.partial(jnp.dot,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+    contrib = (d(u_hi, vbh_ref[:])
+               + (d(u_hi, vbl_ref[:]) + d(u_lo, vbh_ref[:])))
+    _stack_accumulate(out_ref, contrib, k_ref[b], g_ref[b] * 8, sw,
+                      sub_pad)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_tasks", "num_layers", "lanes", "w_support", "block_v",
     "fast", "interpret"))
@@ -206,13 +263,29 @@ def grid_packed_stack_pallas(t_idx, k_idx, g_idx, ubase, vband,
     ``[lanes:lanes+8)`` of each layer always zero).
     """
     num_p = 2 * w_support
-    total = vband.shape[0]
+    high = isinstance(vband, (tuple, list))
+    total = (vband[0] if high else vband).shape[0]
     num_blocks = total // block_v
     sub_pad = lanes + 8
     wk_t, vre, vim = scales
+    vb_spec = pl.BlockSpec((block_v, lanes),
+                           lambda b, t, k, g: (b, 0),
+                           memory_space=pltpu.VMEM)
+    if high:
+        # "high": vband pre-split into bf16 hi/lo halves (same bytes
+        # as f32); three single-pass bf16 dots with f32 accumulate.
+        kern = functools.partial(_grid_stack_kernel_split_high,
+                                 num_p=num_p, sub_pad=sub_pad)
+        vb_specs = [vb_spec, vb_spec]
+        vb_ops = tuple(vband)
+    else:
+        kern = functools.partial(_grid_stack_kernel_split,
+                                 num_p=num_p, sub_pad=sub_pad,
+                                 precision=_precision(fast))
+        vb_specs = [vb_spec]
+        vb_ops = (vband,)
     return pl.pallas_call(
-        functools.partial(_grid_stack_kernel_split, num_p=num_p,
-                          sub_pad=sub_pad, precision=_precision(fast)),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_blocks,),
@@ -220,9 +293,7 @@ def grid_packed_stack_pallas(t_idx, k_idx, g_idx, ubase, vband,
                 pl.BlockSpec((WIN_ROWS, block_v),
                              lambda b, t, k, g: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_v, lanes),
-                             lambda b, t, k, g: (b, 0),
-                             memory_space=pltpu.VMEM),
+            ] + vb_specs + [
                 pl.BlockSpec((w_support, block_v),
                              lambda b, t, k, g: (0, b),
                              memory_space=pltpu.VMEM),
@@ -241,7 +312,7 @@ def grid_packed_stack_pallas(t_idx, k_idx, g_idx, ubase, vband,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(t_idx, k_idx, g_idx, ubase, vband, wk_t,
+    )(t_idx, k_idx, g_idx, ubase, *vb_ops, wk_t,
       vre.reshape(1, total), vim.reshape(1, total))
 
 
@@ -271,25 +342,11 @@ def _grid_kernel_split(bucket_ref, ubase_ref, vband_ref, wkt_ref,
                      precision)
 
 
-def _degrid_math(win, ubase, vbt, wk, out_ref,
-                 w_support: int, precision):
-    # All-standard-matmul formulation (no transposed operands, no VPU
-    # lane reduces — measured 870 ns/block vs 1378 for the
-    # contraction-64 + lane-reduce form on the v5e-class chip):
-    #   t_T[j16r, b]  = sum_c win[j16r, c] * vband_t[c, b]   (MXU)
-    #   prod          = uw2 * t_T        (u-taps x w-taps stack, VPU)
-    #   out[i, b]     = sum_j S[i, j] * prod[j, b]           (MXU)
-    # with S selecting the re (rows < half) / im halves into the wide
-    # [8, B] output block (vis on lanes; the narrow [B, 8] layout
-    # stores 8-lane tiles and costs ~18% of the kernel).
+def _degrid_tail(t_T, ubase, wk, out_ref, w_support: int):
+    """Shared tail of the degrid math after the big window
+    contraction: scale by the (u-tap x w-tap) stack and select the
+    re/im halves into the wide [8, B] output block."""
     half = w_support * WIN_ROWS
-    # fast mode (bf16 vband_t stream): single-pass bf16 dot for the
-    # big contraction; the tiny [8, 2*half] selection dot stays f32.
-    if vbt.dtype == jnp.bfloat16:
-        win = win.astype(jnp.bfloat16)
-    t_T = jnp.dot(win, vbt,
-                  preferred_element_type=jnp.float32,
-                  precision=precision)                 # [2*half, B]
     uwh = jnp.concatenate(
         [ubase * wk[layer:layer + 1, :]
          for layer in range(w_support)], axis=0)       # [half, B]
@@ -301,7 +358,38 @@ def _degrid_math(win, ubase, vbt, wk, out_ref,
                     ).astype(jnp.float32)
     out_ref[:] = jnp.dot(sel, prod,
                          preferred_element_type=jnp.float32,
-                         precision=precision)
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def _degrid_math(win, ubase, vbt, wk, out_ref,
+                 w_support: int, precision):
+    # All-standard-matmul formulation (no transposed operands, no VPU
+    # lane reduces — measured 870 ns/block vs 1378 for the
+    # contraction-64 + lane-reduce form on the v5e-class chip):
+    #   t_T[j16r, b]  = sum_c win[j16r, c] * vband_t[c, b]   (MXU)
+    #   prod          = uw2 * t_T        (u-taps x w-taps stack, VPU)
+    #   out[i, b]     = sum_j S[i, j] * prod[j, b]           (MXU)
+    # fast mode (bf16 vband_t stream): single-pass bf16 dot for the
+    # big contraction; the tiny selection dot stays f32.
+    if vbt.dtype == jnp.bfloat16:
+        win = win.astype(jnp.bfloat16)
+    t_T = jnp.dot(win, vbt,
+                  preferred_element_type=jnp.float32,
+                  precision=precision)                 # [2*half, B]
+    _degrid_tail(t_T, ubase, wk, out_ref, w_support)
+
+
+def _degrid_math_high(win, ubase, vbt_hi, vbt_lo, wk, out_ref,
+                      w_support: int):
+    """"High" mode: window split in VMEM, vband_t streamed pre-split —
+    three single-pass bf16 dots with f32 accumulate (see
+    _grid_stack_kernel_split_high)."""
+    w_hi, w_lo = split_bf16(win)
+    d = functools.partial(jnp.dot,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+    t_T = d(w_hi, vbt_hi) + (d(w_hi, vbt_lo) + d(w_lo, vbt_hi))
+    _degrid_tail(t_T, ubase, wk, out_ref, w_support)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -735,6 +823,17 @@ def _degrid_stack_kernel(t_ref, k_ref, g_ref, ubase_ref, vbt_ref,
                  w_support, precision)
 
 
+def _degrid_stack_kernel_high(t_ref, k_ref, g_ref, ubase_ref,
+                              vbth_ref, vbtl_ref, wkt_ref, ts_ref,
+                              out_ref, *, w_support: int,
+                              sub_pad: int):
+    b = pl.program_id(0)
+    win = _window_from_stack(ts_ref, k_ref[b], g_ref[b] * 8,
+                             w_support, sub_pad)
+    _degrid_math_high(win, ubase_ref[:], vbth_ref[:], vbtl_ref[:],
+                      wkt_ref[:], out_ref, w_support)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "w_support", "block_v", "fast", "interpret", "raw"))
 def degrid_stack_pallas(stack: Array, t_idx, k_idx, g_idx, ubase,
@@ -755,14 +854,29 @@ def degrid_stack_pallas(stack: Array, t_idx, k_idx, g_idx, ubase,
     ``T * stack_bytes`` (~56 MB).  Returns [V] complex64 in sorted
     order (``raw=True``: the [8, V] f32 pair).
     """
-    total = vband_t.shape[1]
+    high = isinstance(vband_t, (tuple, list))
+    vbt0 = vband_t[0] if high else vband_t
+    total = vbt0.shape[1]
     num_blocks = total // block_v
-    lanes_win = vband_t.shape[0]
+    lanes_win = vbt0.shape[0]
     ksp = stack.shape[2]
     sub_pad = lanes_win + 8
+    vbt_spec = pl.BlockSpec((lanes_win, block_v),
+                            lambda b, t, k, g: (0, b),
+                            memory_space=pltpu.VMEM)
+    if high:
+        kern = functools.partial(_degrid_stack_kernel_high,
+                                 w_support=w_support, sub_pad=sub_pad)
+        vbt_specs = [vbt_spec, vbt_spec]
+        vbt_ops = tuple(vband_t)
+    else:
+        kern = functools.partial(_degrid_stack_kernel,
+                                 w_support=w_support, sub_pad=sub_pad,
+                                 precision=_precision(fast))
+        vbt_specs = [vbt_spec]
+        vbt_ops = (vband_t,)
     out = pl.pallas_call(
-        functools.partial(_degrid_stack_kernel, w_support=w_support,
-                          sub_pad=sub_pad, precision=_precision(fast)),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_blocks,),
@@ -770,9 +884,7 @@ def degrid_stack_pallas(stack: Array, t_idx, k_idx, g_idx, ubase,
                 pl.BlockSpec((WIN_ROWS, block_v),
                              lambda b, t, k, g: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((lanes_win, block_v),
-                             lambda b, t, k, g: (0, b),
-                             memory_space=pltpu.VMEM),
+            ] + vbt_specs + [
                 pl.BlockSpec((w_support, block_v),
                              lambda b, t, k, g: (0, b),
                              memory_space=pltpu.VMEM),
@@ -788,7 +900,7 @@ def degrid_stack_pallas(stack: Array, t_idx, k_idx, g_idx, ubase,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(t_idx, k_idx, g_idx, ubase, vband_t, wk_t, stack)
+    )(t_idx, k_idx, g_idx, ubase, *vbt_ops, wk_t, stack)
     if raw:
         return out
     return jax.lax.complex(out[0], out[1])

@@ -507,10 +507,16 @@ def _fold_windows(wins, visited, num_tasks, num_slabs, num_octets,
 _GRIDDER_CACHE: "dict" = {}
 _GRIDDER_CACHE_MAX = 4
 
-# Default MXU precision of the fused kernels. "highest" = multi-pass
-# f32; "high" = manual bf16 hi/lo split, three single-pass dots with
-# f32 accumulate (~1e-6 taper-weighted image error, measured).
-_DEFAULT_PRECISION = "highest"
+# Default MXU precision. "high" = bf16 hi/lo split, three SINGLE-PASS
+# bf16 dots with f32 accumulate (the bands pre-split at plan attach;
+# in-kernel operands split in VMEM). Round-5 decision (VERDICT r4 #3):
+# measured 313.9/273.2 head and 631.8/512.2 dense grid/degrid vs
+# 280.5/260.7 and 520.1/449.0 at "highest" (+12-21%), at 1.74e-6
+# taper-weighted image error — two orders INSIDE the f32 path's own
+# 2.5e-4-of-peak oracle envelope, so there is no accuracy reason to
+# pay the native-f32 multi-pass (de-biased MXU peaks: bf16 ~161 TF/s
+# vs f32 HIGHEST 29.6). "highest" remains available per call.
+_DEFAULT_PRECISION = "high"
 
 # Default engine (2026-08-20 round-5 on-chip A/B, v3 stack kernels,
 # experiments/exp_stack.py — whole-image rates incl. all stages):
@@ -568,6 +574,10 @@ class PackedGridder:
             engine = _DEFAULT_ENGINE
         if precision is None:
             precision = "bf16" if fast else _DEFAULT_PRECISION
+        if engine == "compact" and precision == "high":
+            # The compact engine has no pre-split streams; its
+            # in-kernel split would pay without the 3-dot win.
+            precision = "highest"
         self.precision = precision
         self.interpret = jax.default_backend() != "tpu"
         plan = pplan.wplan
@@ -677,6 +687,8 @@ class PackedGridder:
             need_vband = not self._fused_grid
             need_vband_t = not self._fused_degrid
 
+            from ..kernels.packed_tap import split_bf16 as _split16
+
             def _device_bands(u_frac, v_frac, w_row, u_off, iv0, valid):
                 uk = eval_kernel_taps(u_frac, uv_c, plan.oversampling)
                 vk = eval_kernel_taps(v_frac, uv_c, plan.oversampling)
@@ -686,7 +698,15 @@ class PackedGridder:
                     0.0)
                 ubase, vband, vband_t = build_bands(
                     u_off, iv0, uk, vk, plan.subgrid_size)
-                if self.fast:
+                if self.precision == "high":
+                    # "high": bands pre-split into bf16 hi/lo halves
+                    # (same bytes as f32); the stack kernels run three
+                    # single-pass bf16 dots — de-biased MXU peaks put
+                    # this at ~1.8x native-f32 HIGHEST at ~1.4e-6
+                    # taper-weighted accuracy.
+                    vband = _split16(vband)
+                    vband_t = _split16(vband_t)
+                elif self.fast:
                     # Opt-in fast mode: bf16 v-band streams (half the
                     # dominant per-block HBM stream; the kernels
                     # switch to single-pass bf16 MXU dots — ~2e-3
@@ -1144,11 +1164,12 @@ class PackedGridder:
                 tuple(mesh.axis_names), axis_name)
 
     def _check_mesh(self, mesh):
-        if getattr(self, "_compact", False):
+        if getattr(self, "_compact", False) or \
+                self.precision == "high":
             raise SdpInvalidArgumentError(
-                "mesh-sharded drivers consume the band operand format "
-                "— build the gridder with engine='bands' (or 'auto') "
-                "for sharded use")
+                "mesh-sharded drivers consume the plain band operand "
+                "format — build the gridder with engine='bands' (or "
+                "'auto') at precision='highest' for sharded use")
         ndev = int(mesh.devices.size)
         if self.pplan.num_blocks % ndev:
             raise SdpInvalidArgumentError(
@@ -1234,6 +1255,13 @@ class PackedGridder:
     def grid_sorted_sharded(self, vre: Array, vim: Array, mesh,
                             axis_name: str = "rows") -> Array:
         from jax.sharding import PartitionSpec as P
+
+        if self.precision == "high" or self._compact:
+            # The mesh-sharded bodies consume the plain band operand
+            # format; delegate to a plain-band sibling (value-cached).
+            alt = packed_gridder(self.pplan, fast=self.fast,
+                                 precision="highest", engine="bands")
+            return alt.grid_sorted_sharded(vre, vim, mesh, axis_name)
 
         self._check_mesh(mesh)
         key = ("grid", self._mesh_key(mesh, axis_name))
@@ -1329,6 +1357,10 @@ class PackedGridder:
 
     def degrid_sorted_sharded(self, image: Array, mesh,
                               axis_name: str = "rows") -> Array:
+        if self.precision == "high" or self._compact:
+            alt = packed_gridder(self.pplan, fast=self.fast,
+                                 precision="highest", engine="bands")
+            return alt.degrid_sorted_sharded(image, mesh, axis_name)
         from jax.sharding import PartitionSpec as P
 
         self._check_mesh(mesh)
@@ -1423,17 +1455,21 @@ class PackedGridder:
 
 
 def grid_all_packed(pplan: PackedPlan, vis: Array,
-                    fast: bool = False) -> Array:
+                    fast: bool = False,
+                    precision: str = None) -> Array:
     """Whole-image gridding through the packed path. Returns the real
     dirty image (f32)."""
-    return packed_gridder(pplan, fast).grid(jnp.asarray(vis))
+    return packed_gridder(pplan, fast,
+                          precision=precision).grid(jnp.asarray(vis))
 
 
 def degrid_all_packed(pplan: PackedPlan, image: Array,
-                      fast: bool = False) -> Array:
+                      fast: bool = False,
+                      precision: str = None) -> Array:
     """Whole-image degridding through the packed path. Returns
     [rows, chan] complex64 visibilities."""
-    return packed_gridder(pplan, fast).degrid(jnp.asarray(image))
+    return packed_gridder(pplan, fast,
+                          precision=precision).degrid(jnp.asarray(image))
 
 
 def grid_all_packed_sharded(pplan: PackedPlan, vis: Array, mesh,

@@ -229,8 +229,8 @@ def test_compact_engine_matches_bands(direction):
                        0.002, 100.0, support=8, w_support=4,
                        w_tower_height=4.0)
     pplan = plan_packed(plan, uvw, block_v=128)
-    gb = packed_gridder(pplan, engine="bands")
-    gc = packed_gridder(pplan, engine="compact")
+    gb = packed_gridder(pplan, engine="bands", precision="highest")
+    gc = packed_gridder(pplan, engine="compact", precision="highest")
     assert gc._compact
     if direction == "grid":
         a = np.asarray(gb.grid(jnp.asarray(vis)))

@@ -86,7 +86,8 @@ def test_sort_unsort_roundtrip(scenario):
 @pytest.mark.slow
 def test_packed_grid_matches_task_driver(scenario):
     s = scenario
-    img_p = grid_all_packed(s["pplan"], jnp.asarray(s["vis"]))
+    img_p = grid_all_packed(s["pplan"], jnp.asarray(s["vis"]),
+                            precision="highest")
     n = s["uvw"].shape[0]
     st = jnp.zeros((n,), jnp.int32)
     en = jnp.full((n,), s["num_chan"], jnp.int32)
@@ -133,7 +134,11 @@ def test_packed_sharded_matches_single(scenario):
     mesh = make_mesh(8)
     pplan8 = plan_packed(s["plan"], s["uvw"], block_v=128,
                          pad_blocks_to=8)
-    img_1 = grid_all_packed(s["pplan"], jnp.asarray(s["vis"]))
+    # Same precision both sides: the sharded bodies run plain bands
+    # at "highest" (the "high" default delegates), so the single-chip
+    # reference must too.
+    img_1 = grid_all_packed(s["pplan"], jnp.asarray(s["vis"]),
+                            precision="highest")
     img_8 = grid_all_packed_sharded(pplan8, jnp.asarray(s["vis"]), mesh)
     b = 24  # exclude the 1/PSWF-divergent border
     scale = float(np.abs(np.asarray(img_1)[b:-b, b:-b]).max())
@@ -145,7 +150,8 @@ def test_packed_sharded_matches_single(scenario):
 
     img = np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float32)
     img[IMAGE_SIZE // 2 + 12, IMAGE_SIZE // 2 - 9] = 1.0
-    vis_1 = degrid_all_packed(s["pplan"], jnp.asarray(img))
+    vis_1 = degrid_all_packed(s["pplan"], jnp.asarray(img),
+                              precision="highest")
     vis_8 = degrid_all_packed_sharded(pplan8, jnp.asarray(img), mesh)
     vscale = float(np.abs(np.asarray(vis_1)).max())
     np.testing.assert_allclose(np.asarray(vis_8), np.asarray(vis_1),
@@ -263,7 +269,8 @@ def test_boundary_tie_assignment_parity():
     # Nothing dropped: the processed-vis invariant holds on exact ties.
     assert int(pplan.arrays["valid"].sum()) == uvw.shape[0] * num_chan
 
-    img_p = grid_all_packed(pplan, jnp.asarray(vis))
+    img_p = grid_all_packed(pplan, jnp.asarray(vis),
+                            precision="highest")
     n = uvw.shape[0]
     st = jnp.zeros((n,), jnp.int32)
     en = jnp.full((n,), num_chan, jnp.int32)

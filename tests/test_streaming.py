@@ -76,7 +76,9 @@ def test_streaming_matches_packed_interior(scenario):
     on the image interior (f32 floor; border ring excluded, see module
     docstring)."""
     s = scenario
-    g = packed_gridder(plan_packed(s["plan"], s["uvw"], block_v=128))
+    # Streaming's fused kernels run "highest"; match the reference.
+    g = packed_gridder(plan_packed(s["plan"], s["uvw"], block_v=128),
+                       precision="highest")
     img_ref = np.asarray(g.grid(jnp.asarray(s["vis"])))
 
     sp = plan_stream(s["plan"], s["boxes"], chunk_rows=64,
