@@ -376,6 +376,10 @@ class _StreamEngine:
         self._pack = (fused_geometry_ok(
             plan.subgrid_size, plan.support, plan.oversampling,
             plan.w_oversampling) and splan.block_v % 128 == 0)
+        # "highest" (not the packed drivers' "high" default): the
+        # streaming fused kernels are VPU-serial-bound, not
+        # dot-pass-bound — "high" measured +1% (2026-08-20) and is
+        # not worth the extra mode here.
         self.precision = "bf16" if self.fast else "highest"
 
         # Shared ladders + per-task prefactors (static task set; same

@@ -88,9 +88,9 @@ def setup():
         THETA, W_STEP, support=8, oversampling=16384, w_support=4,
         w_oversampling=16384, w_tower_height=HEIGHT)
     pplan = plan_packed(wplan, uvw, block_v=128)
-    # engine="fused" explicitly: since the 2026-08-20 on-chip sweep
-    # (band 397.7 vs fused 193.7 Mvis/s dense) the plan-once default
-    # is the band engine; the fused engine is the streaming engine.
+    # engine="fused" explicitly: the plan-once default is the band
+    # engine (round-5 whole-image A/B); the fused engine is the
+    # streaming engine and is what this suite pins.
     g = packed_gridder(pplan, engine="fused")
     assert g._fused
     vis = (rng.standard_normal((num_rows, num_chan))
