@@ -608,16 +608,22 @@ def main():
         pplan_d, gd, nvis_d, hbm_stream_gbps, mxu_tflops)
 
     # A measured rate above the shipping engine's own roofline means
-    # the byte model lost track of the engine configuration (the
+    # the byte/FLOP model lost track of the engine configuration (the
     # BENCH_r04 failure mode) — the bench result would be meaningless,
-    # so fail loudly instead of publishing it.
-    if dense_mvis > att_dense_eng * 1.05:
-        raise AssertionError(
-            f"dense grid {dense_mvis:.1f} Mvis/s exceeds its own "
-            f"engine roofline {att_dense_eng:.1f} "
-            f"({_grid_stream_bytes_per_slot(gd):.0f} B/slot, "
-            f"{hbm_stream_gbps:.0f} GB/s stream): the byte model no longer "
-            "the engine — fix _grid_stream_bytes_per_slot")
+    # so fail loudly instead of publishing it. Both scenarios are
+    # checked (the headline includes extra stages, so its bound holds
+    # a fortiori).
+    for label, measured, bound, grd in (
+            ("dense", dense_mvis, att_dense_eng, gd),
+            ("headline", grid_mvis, att_head_eng, g)):
+        if measured > bound * 1.05:
+            raise AssertionError(
+                f"{label} grid {measured:.1f} Mvis/s exceeds its own "
+                f"engine roofline {bound:.1f} "
+                f"({_grid_stream_bytes_per_slot(grd):.0f} B/slot, "
+                f"{hbm_stream_gbps:.0f} GB/s stream): the byte model "
+                "no longer tracks the engine — fix "
+                "_grid_stream_bytes_per_slot / _attainable_mvis")
 
     _emit({
         "metric": "gridding_throughput",

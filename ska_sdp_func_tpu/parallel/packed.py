@@ -574,10 +574,6 @@ class PackedGridder:
             engine = _DEFAULT_ENGINE
         if precision is None:
             precision = "bf16" if fast else _DEFAULT_PRECISION
-        if engine == "compact" and precision == "high":
-            # The compact engine has no pre-split streams; its
-            # in-kernel split would pay without the 3-dot win.
-            precision = "highest"
         self.precision = precision
         self.interpret = jax.default_backend() != "tpu"
         plan = pplan.wplan
@@ -648,6 +644,12 @@ class PackedGridder:
         # HBM. Opt-in: the mesh-sharded drivers still consume the
         # band operand format.
         self._compact = engine == "compact" and packable
+        if self._compact and self.precision == "high":
+            # The compact engine has no pre-split streams; its
+            # in-kernel split would pay without the 3-dot win. Only
+            # coerce when compact actually engages — a non-packable
+            # plan falls back to the band engine, which runs 'high'.
+            self.precision = "highest"
         # Back-compat alias (introspected by tests/experiments): true
         # only when BOTH directions run the fused kernels.
         self._fused = self._fused_grid and self._fused_degrid
@@ -849,13 +851,6 @@ class PackedGridder:
             plan.w_support, block_v=pplan.block_v, fast=self.fast,
             interpret=self.interpret)
 
-    def _stage_fold(self, wins, visited):
-        pplan = self.pplan
-        return _fold_windows(wins, visited, len(pplan.tasks),
-                             pplan.num_slabs, pplan.num_octets,
-                             pplan.wplan.w_support, pplan.num_layers,
-                             self.interpret)
-
     def _stage_drain(self, layers, ladder, pref):
         layers = ifft_shifted(layers)
         subgrids = jnp.einsum("tkuv,kuv->tuv", layers, ladder) * pref
@@ -889,7 +884,13 @@ class PackedGridder:
         return jax.lax.complex(st[:, 0], st[:, 1])
 
     def _grid_impl(self, vre, vim, ops, block_bucket,
-                   visited, ladder, pref, screens):
+                   ladder, pref, screens):
+        # No visited mask: every packed-plan task has >= 1 valid
+        # visibility BY CONSTRUCTION (plan_packed enumerates tasks
+        # from the per-visibility assignment), so every task's stack
+        # is zero-initialised and accumulated by the kernel. The
+        # STREAMING driver, whose per-chunk task occupancy is data-
+        # dependent, applies its own per-task mask (_planes_core).
         out = self._stage_kernel(vre, vim, ops, block_bucket)
         layers = self._stack_to_layers(out)
         subgrids = self._stage_drain(layers, ladder, pref)
@@ -902,7 +903,7 @@ class PackedGridder:
         """Sorted-stream (re, im) f32 -> real dirty image (f32)."""
         return self._grid_jit(vre, vim, self._grid_ops,
                               self._grid_indices(),
-                              self.visited, self.ladder_grid,
+                              self.ladder_grid,
                               self.pref_grid, self.screens_grid)
 
     def grid(self, vis: Array) -> Array:
@@ -1011,7 +1012,7 @@ class PackedGridder:
         from ..utility.timers import TimerType, Timers
 
         args = (self._grid_ops, self._grid_indices(),
-                self.visited, self.ladder_grid, self.pref_grid,
+                self.ladder_grid, self.pref_grid,
                 self.screens_grid)
 
         def upto(n):
@@ -1026,7 +1027,7 @@ class PackedGridder:
                         + jnp.sum(jnp.abs(x.imag))
                 return jnp.sum(jnp.abs(x))
 
-            def f(vre, vim, ops, bb, visited, ladder, pref,
+            def f(vre, vim, ops, bb, ladder, pref,
                   screens):
                 out = self._stage_kernel(vre, vim, ops, bb)
                 if n == 0:
@@ -1164,12 +1165,9 @@ class PackedGridder:
                 tuple(mesh.axis_names), axis_name)
 
     def _check_mesh(self, mesh):
-        if getattr(self, "_compact", False) or \
-                self.precision == "high":
-            raise SdpInvalidArgumentError(
-                "mesh-sharded drivers consume the plain band operand "
-                "format — build the gridder with engine='bands' (or "
-                "'auto') at precision='highest' for sharded use")
+        # compact/'high' gridders never reach here: the sharded entry
+        # points delegate them to a plain-band 'highest' sibling first
+        # (the sharded bodies consume the plain band operand format).
         ndev = int(mesh.devices.size)
         if self.pplan.num_blocks % ndev:
             raise SdpInvalidArgumentError(
@@ -1259,6 +1257,10 @@ class PackedGridder:
         if self.precision == "high" or self._compact:
             # The mesh-sharded bodies consume the plain band operand
             # format; delegate to a plain-band sibling (value-cached).
+            # NOTE: the sibling holds its OWN f32 band arrays — a
+            # 'high' gridder used for sharded work keeps ~2x band HBM
+            # resident (bounded by the gridder LRU). Build with
+            # precision='highest' directly if sharded use dominates.
             alt = packed_gridder(self.pplan, fast=self.fast,
                                  precision="highest", engine="bands")
             return alt.grid_sorted_sharded(vre, vim, mesh, axis_name)

@@ -426,38 +426,30 @@ class _StreamEngine:
                 and len(splan.tasks) <= _RANK_LUT_MAX):
             fk = c["flat_sorted"].astype(np.int32)
 
-            def pdiff(a):
-                d = np.asarray(a).copy()
-                d[1:] -= d[:-1]
-                return d
-
-            self._rank = dict(
-                fk=jnp.asarray(fk),
-                d_first=jnp.asarray(pdiff(c["first_t"])),
-                d_nplanes=jnp.asarray(pdiff(c["num_planes_t"])),
-                d_offw=jnp.asarray(pdiff(c["off_w"]).astype(
-                    np.float32)))
+            # Only the sorted flat keys are needed: the per-task
+            # attribute prefix-differences the round-4 lookup carried
+            # were replaced by the per-biw arithmetic table above.
+            self._rank = dict(fk=jnp.asarray(fk))
         self._first_t = jnp.asarray(c["first_t"])
         self._off_w = jnp.asarray(c["off_w"])
         self._num_planes_t = jnp.asarray(c["num_planes_t"])
-        # Per-biw tower-range tables (host ints baked as Python
+        # Per-biw tower-range table (host ints baked as Python
         # scalars into the trace): the attributes depend only on the
         # box w index — same formulas as plan_stream, evaluated for
-        # every lattice biw row (present or not; harmless for absent
-        # rows, whose entries already carry task = -1).
-        nbw = int(c["nb3"][0])
-        biw_vals = int(c["b0"][0]) + np.arange(nbw)
+        # the DISTINCT biw values of the planned boxes only (<=
+        # num_tasks rows; the lattice height is unbounded by task
+        # count and must not size the unrolled trace).
+        biw_vals = np.unique(np.asarray(
+            [t.iw for t in splan.tasks], np.int64))
         offw_b = np.trunc(biw_vals * plan.w_tower_height)
         wmin_b = biw_vals * plan.w_stack_dist - plan.w_stack_dist / 2
         wmax_b = biw_vals * plan.w_stack_dist + plan.w_stack_dist / 2
         first_b = (np.floor(wmin_b / plan.w_step - _ETA) - offw_b)
         last_b = (np.ceil(wmax_b / plan.w_step + _ETA) - offw_b + 1)
-        self._biw_tab = dict(
-            n=nbw,
-            first=[int(x) for x in first_b],
-            nplanes=[int(1 + l - f)
-                     for f, l in zip(first_b, last_b)],
-            offw=[float(x) for x in offw_b])
+        self._biw_tab = tuple(
+            (int(bw - int(c["b0"][0])), int(f), int(1 + l - f),
+             float(o))
+            for bw, f, l, o in zip(biw_vals, first_b, last_b, offw_b))
         # Host f64 channel scaling, shipped as an f32 constant.
         scale = (plan.freq0_hz + (plan.dfreq_hz or 10.0)
                  * np.arange(plan.num_chan)) / C_0
@@ -543,21 +535,21 @@ class _StreamEngine:
             task = jnp.where(inb & present, rank_ge - 1, -1)
             # The tower-range attributes are pure functions of the box
             # W index (plan_stream derives them from the box
-            # w-interval), so they come from ``nbw``-way selects over
-            # the few distinct biw values (round-5: the three [N, T]
-            # prefix-difference chains this replaces were the
-            # dominant geometry cost at dense-chunk scale).
+            # w-interval), so they come from selects over the DISTINCT
+            # biw values present in the box set (<= num_tasks, NOT the
+            # lattice height — a sparse w outlier must not unroll the
+            # trace over empty lattice rows). Entries in absent rows
+            # keep zero attributes; they already drop via task = -1.
+            # (Round-5: replaces the three [N, T] prefix-difference
+            # chains, the dominant geometry cost at dense-chunk scale.)
             first_e = jnp.zeros_like(li)
             nplanes_e = jnp.zeros_like(li)
             off_w_e = jnp.zeros(li.shape, jnp.float32)
-            for kbw in range(int(self._biw_tab["n"])):
+            for kbw, fval, nval, oval in self._biw_tab:
                 hit = i0 == kbw
-                first_e = jnp.where(
-                    hit, self._biw_tab["first"][kbw], first_e)
-                nplanes_e = jnp.where(
-                    hit, self._biw_tab["nplanes"][kbw], nplanes_e)
-                off_w_e = jnp.where(
-                    hit, self._biw_tab["offw"][kbw], off_w_e)
+                first_e = jnp.where(hit, fval, first_e)
+                nplanes_e = jnp.where(hit, nval, nplanes_e)
+                off_w_e = jnp.where(hit, oval, off_w_e)
         elif self._lut2_oh is not None:
             # One-hot matmul lookup: one [N, nlat] @ [nlat, 8] product
             # replaces the row-gather (~30 ms -> ~2 ms at dense-chunk
