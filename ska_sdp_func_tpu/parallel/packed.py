@@ -52,22 +52,18 @@ from ..grid_data.gridder_utils import (
 )
 from ..kernels.fused_tap import (
     degrid_compact_pallas,
-    degrid_fused2_pallas,
     degrid_fused2_stack_pallas,
     fused_geometry_ok,
     grid_compact_pallas,
-    grid_fused_pallas,
     grid_fused_stack_pallas,
     pack_plan_words,
 )
 from ..kernels.packed_tap import (
     WIN_ROWS,
     build_bands,
-    degrid_fused_pallas,
     degrid_stack_pallas,
     fold_groups_pallas,
     fold_layers_pallas,
-    grid_packed_pallas,
     grid_packed_stack_pallas,
 )
 from ..utility.constants import C_0
@@ -1284,27 +1280,37 @@ class PackedGridder:
 
             def body(vre_c, vim_c, ops, bb_loc_c,
                      t0_c, iu_c, iv_c, pl_c, vm_c, ladder, pref_pad):
+                # v3 stack kernels, shard-local: per-block (task,
+                # slab, octet) derive from the local block->bucket
+                # map; tasks with no blocks in this shard are masked
+                # (their stacks are never visited) and straddled
+                # tasks sum through the planes psum.
+                t_loc = bb_loc_c // (S * G)
+                k_loc = (bb_loc_c // G) % S
+                g_loc = bb_loc_c % G
                 if self._fused_grid:
                     pa_c, pb_c = ops
-                    wins = grid_fused_pallas(
-                        bb_loc_c, pa_c, pb_c, vre_c, vim_c, self._uv_c,
-                        self._w_c, tp * S * G, sgs, plan.support,
-                        plan.w_support, plan.oversampling,
-                        plan.w_oversampling, block_v=pplan.block_v,
+                    stack = grid_fused_stack_pallas(
+                        t_loc, k_loc, g_loc, pa_c, pb_c, vre_c, vim_c,
+                        self._uv_c, self._w_c, tp, pplan.num_layers,
+                        sgs, plan.support, plan.w_support,
+                        plan.oversampling, plan.w_oversampling,
+                        block_v=pplan.block_v,
                         precision=self.precision,
                         interpret=self.interpret)
                 else:
                     wkt_c, ubase_c, vband_c = ops
-                    wins = grid_packed_pallas(
-                        bb_loc_c, ubase_c, vband_c,
-                        (wkt_c, vre_c, vim_c), tp * S * G,
+                    stack = grid_packed_stack_pallas(
+                        t_loc, k_loc, g_loc, ubase_c, vband_c,
+                        (wkt_c, vre_c, vim_c), tp, pplan.num_layers,
                         sgs, plan.w_support, block_v=pplan.block_v,
                         fast=self.fast, interpret=self.interpret)
-                visited_local = jnp.zeros((tp * S * G,), bool) \
-                    .at[bb_loc_c].set(True)
-                layers = _fold_windows(
-                    wins, visited_local, tp, S, G, plan.w_support,
-                    pplan.num_layers, self.interpret)
+                st = stack.reshape(tp, 2, pplan.num_layers,
+                                   sgs + 8, sgs)[:, :, :, :sgs, :]
+                layers = jax.lax.complex(st[:, 0], st[:, 1])
+                tvis = jnp.zeros((tp,), bool).at[t_loc].set(True)
+                layers = jnp.where(tvis[:, None, None, None],
+                                   layers, 0)
                 z = jnp.zeros((), t0_c.dtype)
                 pref_local = jax.lax.dynamic_slice(
                     pref_pad, (t0_c[0], z, z), (tp, sgs, sgs))
@@ -1410,22 +1416,29 @@ class PackedGridder:
                 layers = fft_shifted(
                     (subgrids * pref_local)[:, None, :, :]
                     * ladder[None])
+                # Task-major stack layout for the v3 stack degrid
+                # kernels (shard-local tasks; p_loc_c = local_task *
+                # Kmax + slab, so t/k derive by divmod).
                 st = jnp.stack([layers.real.astype(jnp.float32),
-                                layers.imag.astype(jnp.float32)])
+                                layers.imag.astype(jnp.float32)],
+                               axis=1)
                 st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8),
                                   (0, 0)))
-                st = st.reshape(2, tp * pplan.num_layers, sgs + 8, sgs)
+                st = st.reshape(tp, 2,
+                                pplan.num_layers * (sgs + 8), sgs)
+                t_loc = p_loc_c // pplan.num_layers
+                k_loc = p_loc_c % pplan.num_layers
                 if self._fused_degrid:
                     pa_c, pb_c = ops
-                    return degrid_fused2_pallas(
-                        st, p_loc_c, g_c, hv_c, pa_c, pb_c, self._uv_c,
+                    return degrid_fused2_stack_pallas(
+                        st, t_loc, k_loc, g_c, pa_c, pb_c, self._uv_c,
                         self._w_c, sgs, plan.support, plan.w_support,
                         plan.oversampling, plan.w_oversampling,
                         block_v=pplan.block_v, precision=self.precision,
                         interpret=self.interpret)
                 wkt_c, ubase_c, vbt_c = ops
-                return degrid_fused_pallas(
-                    st, p_loc_c, g_c, hv_c, ubase_c, vbt_c, wkt_c,
+                return degrid_stack_pallas(
+                    st, t_loc, k_loc, g_c, ubase_c, vbt_c, wkt_c,
                     plan.w_support, block_v=pplan.block_v,
                     fast=self.fast, interpret=self.interpret)
 
