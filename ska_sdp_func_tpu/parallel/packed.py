@@ -595,16 +595,12 @@ class PackedGridder:
         # degrid kernel's window-tile index maps (plane = task*Kmax +
         # w-slab into the flattened layer stack; hv always 0 — the
         # window spans the subgrid's full lane width).
+        # Per-block (task, w-slab, u-octet) for the v3 stack kernels.
         bb = arrays["block_bucket"].astype(np.int64)
         octet = bb % pplan.num_octets
         slab = (bb // pplan.num_octets) % pplan.num_slabs
         task = bb // (pplan.num_octets * pplan.num_slabs)
-        self.p_idx = jnp.asarray(
-            (task * pplan.num_layers + slab).astype(np.int32))
         self.g_idx = jnp.asarray(octet.astype(np.int32))
-        self.hv_idx = jnp.asarray(np.zeros(bb.shape, np.int32))
-        # Per-block (task, w-slab) for the v3 stack-accumulating grid
-        # kernel (grid_fused_stack_pallas).
         self.t_idx = jnp.asarray(task.astype(np.int32))
         self.k_idx = jnp.asarray(slab.astype(np.int32))
         self.visited = jnp.asarray(arrays["visited"])
@@ -872,12 +868,25 @@ class PackedGridder:
         """[T, 2, K*(G+8), G] stack-kernel output -> [T, K, G, G]
         complex layers (crop the always-zero 8-row octet overhang and
         combine the re/im planes — one cheap slice-copy pass, vs the
-        254 MB window read the fold pass performed)."""
+        254 MB window read the fold pass performed). ``T`` is taken
+        from the stack (the sharded bodies pass per-shard stacks)."""
         pplan = self.pplan
         G = pplan.wplan.subgrid_size
-        st = stack.reshape(len(pplan.tasks), 2, pplan.num_layers,
+        st = stack.reshape(stack.shape[0], 2, pplan.num_layers,
                            G + 8, G)[:, :, :, :G, :]
         return jax.lax.complex(st[:, 0], st[:, 1])
+
+    def _layers_to_stack(self, layers):
+        """[T, K, G, G] complex layers -> task-major [T, 2, K*(G+8),
+        G] f32 stack (the v3 degrid kernels' input form; the 8-row
+        u-pad mirrors _window_from_stack's sub_pad)."""
+        pplan = self.pplan
+        G = pplan.wplan.subgrid_size
+        st = jnp.stack([layers.real.astype(jnp.float32),
+                        layers.imag.astype(jnp.float32)], axis=1)
+        st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
+        return st.reshape(layers.shape[0], 2,
+                          pplan.num_layers * (G + 8), G)
 
     def _grid_impl(self, vre, vim, ops, block_bucket,
                    ladder, pref, screens):
@@ -924,7 +933,6 @@ class PackedGridder:
         pplan = self.pplan
         plan = pplan.wplan
         sgs = plan.subgrid_size
-        num_tasks = len(pplan.tasks)
         plane_pos = {iw: i for i, iw in enumerate(pplan.w_plane_ids)}
         subgrids = jnp.stack([
             subgrid_cut_out_static(
@@ -935,11 +943,7 @@ class PackedGridder:
         subgrids = ifft_shifted_norm(subgrids)
         layers = fft_shifted(
             (subgrids * pref)[:, None, :, :] * ladder[None])
-        st = jnp.stack([layers.real.astype(jnp.float32),
-                        layers.imag.astype(jnp.float32)], axis=1)
-        st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8), (0, 0)))
-        return st.reshape(num_tasks, 2,
-                          pplan.num_layers * (sgs + 8), sgs)
+        return self._layers_to_stack(layers)
 
     def _dstage_kernel(self, st, ops, block_bucket):
         # v3: windows are sliced in VMEM from the task's resident
@@ -1305,9 +1309,12 @@ class PackedGridder:
                         (wkt_c, vre_c, vim_c), tp, pplan.num_layers,
                         sgs, plan.w_support, block_v=pplan.block_v,
                         fast=self.fast, interpret=self.interpret)
-                st = stack.reshape(tp, 2, pplan.num_layers,
-                                   sgs + 8, sgs)[:, :, :, :sgs, :]
-                layers = jax.lax.complex(st[:, 0], st[:, 1])
+                layers = self._stack_to_layers(stack)
+                # Defense-in-depth: with contiguous block sharding
+                # every task in [t0, t1] has >= 1 local block, so
+                # this duplicates the vm_c masking in the canvas scan
+                # — kept so a degenerate plan can never leak an
+                # uninitialised stack.
                 tvis = jnp.zeros((tp,), bool).at[t_loc].set(True)
                 layers = jnp.where(tvis[:, None, None, None],
                                    layers, 0)
@@ -1385,7 +1392,7 @@ class PackedGridder:
             w_offsets = self._plane_offsets()
             kernel = self._kernel
 
-            def body(image_r, ops, p_loc_c, g_c, hv_c,
+            def body(image_r, ops, p_loc_c, g_c,
                      t0_c, iu_c, iv_c, pl_c, ladder, pref_pad):
                 # Replicated per-plane FFTs (few planes, image-sized,
                 # batched); everything per-task below runs on the
@@ -1419,13 +1426,7 @@ class PackedGridder:
                 # Task-major stack layout for the v3 stack degrid
                 # kernels (shard-local tasks; p_loc_c = local_task *
                 # Kmax + slab, so t/k derive by divmod).
-                st = jnp.stack([layers.real.astype(jnp.float32),
-                                layers.imag.astype(jnp.float32)],
-                               axis=1)
-                st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 8),
-                                  (0, 0)))
-                st = st.reshape(tp, 2,
-                                pplan.num_layers * (sgs + 8), sgs)
+                st = self._layers_to_stack(layers)
                 t_loc = p_loc_c // pplan.num_layers
                 k_loc = p_loc_c % pplan.num_layers
                 if self._fused_degrid:
@@ -1450,11 +1451,11 @@ class PackedGridder:
                 in_specs=(P(), ops_specs,
                           P(axis_name), P(axis_name),
                           P(axis_name), P(axis_name), P(axis_name),
-                          P(axis_name), P(axis_name), P(), P()),
+                          P(axis_name), P(), P()),
                 out_specs=P(axis_name), check_vma=False))
             self._sharded_cache[key] = fn
         return fn(image, self._degrid_ops,
-                  meta["p_idx_local"], self.g_idx, self.hv_idx,
+                  meta["p_idx_local"], self.g_idx,
                   meta["t0"], meta["iu_eff"], meta["iv_eff"],
                   meta["pidx"], self.ladder_degrid, meta["pref_d_pad"])
 

@@ -419,3 +419,37 @@ def test_subcell_shift_changes_digest(scenario):
     g1 = packed_gridder(s["pplan"])
     g2 = packed_gridder(pplan2)
     assert g1 is not g2
+
+
+@pytest.mark.slow
+def test_packed_sharded_fused_engine_matches_single(scenario):
+    """The FUSED-engine sharded branches (grid_fused_stack /
+    degrid_fused2_stack with shard-local indices) match the 1-device
+    fused results — the band-engine sharded test does not reach these
+    code paths."""
+    from ska_sdp_func_tpu.parallel import make_mesh
+
+    s = scenario
+    mesh = make_mesh(8)
+    pplan8 = plan_packed(s["plan"], s["uvw"], block_v=128,
+                         pad_blocks_to=8)
+    g1 = packed_gridder(s["pplan"], engine="fused",
+                        precision="highest")
+    g8 = packed_gridder(pplan8, engine="fused", precision="highest")
+    img_1 = g1.grid(jnp.asarray(s["vis"]))
+    img_8 = g8.grid_sharded(jnp.asarray(s["vis"]), mesh)
+    b = 24
+    scale = float(np.abs(np.asarray(img_1)[b:-b, b:-b]).max())
+    # Straddled buckets drain through separate per-shard FFT chains
+    # (f32 reassociation, same envelope as the band-engine test).
+    np.testing.assert_allclose(
+        np.asarray(img_8)[b:-b, b:-b], np.asarray(img_1)[b:-b, b:-b],
+        atol=1e-3 * scale)
+
+    img = np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float32)
+    img[IMAGE_SIZE // 2 + 12, IMAGE_SIZE // 2 - 9] = 1.0
+    vis_1 = g1.degrid(jnp.asarray(img))
+    vis_8 = g8.degrid_sharded(jnp.asarray(img), mesh)
+    vscale = float(np.abs(np.asarray(vis_1)).max())
+    np.testing.assert_allclose(np.asarray(vis_8), np.asarray(vis_1),
+                               atol=1e-4 * vscale)
