@@ -432,3 +432,39 @@ def test_box_membership_fma_hull():
     processed, dropped, voided = (int(x) for x in sg.counters())
     assert processed == rows * num_chan
     assert dropped == 0 and voided == 0
+
+
+@pytest.mark.slow
+def test_streaming_nonpackable_fallback_matches_packed(scenario):
+    """Geometries outside the packed-word limits (oversampling >
+    32768) route through the prep-kernel + band-kernel fallback path
+    (_pack=False) — pin it against the packed reference the same way
+    the fused path is pinned."""
+    from ska_sdp_func_tpu.parallel.packed import plan_packed
+    from ska_sdp_func_tpu.parallel.wstack import plan_wstack
+
+    s = scenario
+    plan = plan_wstack(
+        s["uvw"], s["plan"].freq0_hz, s["plan"].dfreq_hz,
+        s["plan"].num_chan, s["plan"].image_size,
+        s["plan"].subgrid_size, s["plan"].theta, s["plan"].w_step,
+        support=8, oversampling=65536, w_support=4,
+        w_oversampling=16384,
+        w_tower_height=s["plan"].w_tower_height)
+    g = packed_gridder(plan_packed(plan, s["uvw"], block_v=128),
+                       precision="highest")
+    img_ref = np.asarray(g.grid(jnp.asarray(s["vis"])))
+
+    sp = plan_stream(plan, s["boxes"], chunk_rows=64, block_v=128,
+                     cap_slots=20480)
+    sg = StreamingGridder(sp)
+    assert not sg._engine._pack
+    rows = s["uvw"].shape[0]
+    for lo in range(0, rows, 64):
+        hi = min(rows, lo + 64)
+        sg.accumulate(s["uvw"][lo:hi], s["vis"][lo:hi])
+    img = np.asarray(sg.finalize())
+    m = 32
+    d = np.abs(img[m:-m, m:-m] - img_ref[m:-m, m:-m]).max()
+    pk = np.abs(img_ref[m:-m, m:-m]).max()
+    assert d / pk < 2e-4
