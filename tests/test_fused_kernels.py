@@ -245,3 +245,23 @@ def test_compact_engine_matches_bands(direction):
         b = np.asarray(gc.degrid_sorted(model))
         scale = np.abs(a).max()
     assert np.abs(a - b).max() / scale < 2e-6
+
+
+def test_split_bf16_lo_half_survives_compilation():
+    """Regression guard for the excess-precision hazard: the naive
+    ``x - f32(bf16(x))`` split is folded to zero by XLA under
+    --xla_allow_excess_precision (and by LLVM on CPU), silently
+    degrading precision='high' to bf16-class 1e-3 error. The
+    bit-level split_bf16 must keep a non-trivial lo half and
+    reconstruct to ~2^-17 under jit on ANY backend."""
+    from ska_sdp_func_tpu.kernels.packed_tap import split_bf16
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32))
+    hi, lo = jax.jit(split_bf16)(x)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    lo_f = np.asarray(lo.astype(jnp.float32))
+    assert np.abs(lo_f).max() > 0.0, "lo half collapsed to zero"
+    rec = np.asarray(hi.astype(jnp.float32)) + lo_f
+    rel = np.abs(rec - np.asarray(x)).max() / np.abs(x).max()
+    assert rel < 1e-4, f"hi+lo reconstruction error {rel:.2e}"
