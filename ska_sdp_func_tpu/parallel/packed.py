@@ -536,6 +536,13 @@ _DEFAULT_ENGINE = "auto"
 def packed_gridder(pplan: PackedPlan, fast: bool = False,
                    precision: str = None, engine: str = None):
     """Per-plan device driver (LRU-cached by the plan's content digest)."""
+    # Resolve defaults BEFORE keying: packed_gridder(p) and
+    # packed_gridder(p, precision="high") must share one cache entry
+    # (each gridder pins GB-scale band arrays).
+    if engine is None:
+        engine = _DEFAULT_ENGINE
+    if precision is None:
+        precision = "bf16" if fast else _DEFAULT_PRECISION
     key = (pplan, fast, precision, engine)
     g = _GRIDDER_CACHE.pop(key, None)
     if g is None:
